@@ -1,0 +1,22 @@
+"""Test env: force CPU with 8 virtual devices BEFORE jax initializes.
+
+This is the TPU analog of the reference's missing "multi-node testing without
+a cluster" (SURVEY.md §4): multi-chip sharding paths are validated on a
+virtual 8-device CPU mesh.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The preinstalled 'axon' TPU plugin ignores JAX_PLATFORMS env alone; the
+# config update is what actually pins the backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,246 @@
+"""Kernel tests vs NumPy/torch oracles: bev_pool, grid_sample, render ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from preworld_tpu.ops import (
+    alpha2weight,
+    bev_pool,
+    bev_pool_dense_oracle,
+    cumdist_mask,
+    grid_sample_2d,
+    grid_sample_3d,
+    raw2alpha,
+    sample_ray_points,
+    RaySamplingSpec,
+)
+
+
+class TestBevPool:
+    def test_reference_golden(self):
+        """The reference's embedded self-check (`bev_pool.py:145-176`):
+        8 frustum points, 2 in-range to the same voxel, depth*feat sum = 4.4
+        with exact hand gradients."""
+        depth = np.array([0.3, 0.4, 0.2, 0.1, 0.7, 0.6, 0.8, 0.9], np.float64)
+        feat = np.ones((8, 2), np.float64) * 0.1
+        # points 2 and 3 land in voxel 0; everything else out of range
+        vox = np.array([99, 99, 0, 0, 99, 99, 99, 99])
+        pix = np.arange(8)
+        out = bev_pool(
+            jnp.asarray(depth)[None, None, :, None, None],
+            jnp.asarray(feat).reshape(1, 1, 8, 1, 2)[:, :, :, :, :].reshape(1, 1, 8, 1, 2),
+            jnp.asarray(vox).reshape(1, 1, 8, 1, 1),
+            jnp.asarray(pix).reshape(1, 1, 8, 1, 1),
+            num_voxels=99,
+        )
+        # depth[2]*0.1 + depth[3]*0.1 per channel = 0.03; total over 2ch = 0.06
+        np.testing.assert_allclose(np.asarray(out[0]).sum(), 0.06, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[0]), [0.03, 0.03], atol=1e-7)
+
+    def test_vs_dense_oracle(self):
+        rng = np.random.default_rng(0)
+        B, N, D, H, W, C = 2, 2, 3, 4, 5, 6
+        nvox = 50
+        depth = rng.uniform(size=(B, N, D, H, W)).astype(np.float32)
+        feat = rng.normal(size=(B, N, H, W, C)).astype(np.float32)
+        vox = rng.integers(0, nvox + 1, size=(B, N, D, H, W)).astype(np.int32)
+        from preworld_tpu.geometry import frustum_pixel_indices
+
+        pix = frustum_pixel_indices(B, N, D, H, W)
+        out = np.asarray(bev_pool(depth, feat, vox, pix, nvox))
+        oracle = bev_pool_dense_oracle(depth, feat, vox, pix, nvox)
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_reference_formulation(self):
+        """Autodiff grads must equal the handwritten CUDA backward semantics
+        (`bev_pool_cuda.cu:67-121`): d_depth[p] = <g[vox(p)], feat[pix(p)]>,
+        d_feat[pix] = sum_d depth * g[vox]."""
+        rng = np.random.default_rng(1)
+        B, N, D, H, W, C = 1, 1, 3, 2, 2, 4
+        nvox = 10
+        depth = rng.uniform(size=(B, N, D, H, W)).astype(np.float32)
+        feat = rng.normal(size=(B, N, H, W, C)).astype(np.float32)
+        vox = rng.integers(0, nvox + 1, size=(B, N, D, H, W)).astype(np.int32)
+        from preworld_tpu.geometry import frustum_pixel_indices
+
+        pix = frustum_pixel_indices(B, N, D, H, W)
+        g = rng.normal(size=(nvox, C)).astype(np.float32)
+
+        def f(dep, fea):
+            return (bev_pool(dep, fea, vox, pix, nvox) * g).sum()
+
+        gd, gf = jax.grad(f, argnums=(0, 1))(depth, feat)
+        # oracle gradients
+        dflat = depth.reshape(-1)
+        vflat = vox.reshape(-1)
+        pflat = pix.reshape(-1)
+        fflat = feat.reshape(-1, C)
+        gd_o = np.zeros_like(dflat)
+        gf_o = np.zeros_like(fflat)
+        for i in range(dflat.shape[0]):
+            if vflat[i] < nvox:
+                gd_o[i] = g[vflat[i]] @ fflat[pflat[i]]
+                gf_o[pflat[i]] += dflat[i] * g[vflat[i]]
+        np.testing.assert_allclose(
+            np.asarray(gd).reshape(-1), gd_o, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf).reshape(-1, C), gf_o, rtol=1e-4, atol=1e-5
+        )
+
+
+def torch_grid_sample_2d(inp, grid, align_corners=True):
+    torch = pytest.importorskip("torch")
+    return (
+        torch.nn.functional.grid_sample(
+            torch.from_numpy(inp),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=align_corners,
+        )
+        .numpy()
+    )
+
+
+class TestGridSample:
+    @pytest.mark.parametrize("align", [True, False])
+    def test_2d_vs_torch(self, align):
+        rng = np.random.default_rng(0)
+        inp = rng.normal(size=(2, 3, 8, 9)).astype(np.float32)
+        grid = rng.uniform(-1.3, 1.3, size=(2, 5, 7, 2)).astype(np.float32)
+        ours = np.asarray(grid_sample_2d(inp, grid, align_corners=align))
+        ref = torch_grid_sample_2d(inp, grid, align)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("align", [True, False])
+    def test_3d_vs_torch(self, align):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        inp = rng.normal(size=(2, 4, 5, 6, 7)).astype(np.float32)
+        grid = rng.uniform(-1.2, 1.2, size=(2, 3, 4, 2, 3)).astype(np.float32)
+        ours = np.asarray(grid_sample_3d(inp, grid, align_corners=align))
+        ref = (
+            torch.nn.functional.grid_sample(
+                torch.from_numpy(inp),
+                torch.from_numpy(grid),
+                mode="bilinear",
+                padding_mode="zeros",
+                align_corners=align,
+            )
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestRender:
+    def test_spec_counts_match_reference(self):
+        """With the paper config: bg_len=1/39, world_len=200, step 0.5
+        => N_inner=391, N_outer=26 (`nerf_head.py:35-36,129`)."""
+        spec = RaySamplingSpec()
+        assert abs(spec.bg_len - 1 / 39) < 1e-6
+        assert spec.num_inner == 391
+        assert spec.num_outer == 26
+        assert spec.t_midpoints.shape == (417,)
+        np.testing.assert_allclose(spec.xyz_min[2], -0.08, atol=1e-6)
+
+    def test_raw2alpha_formula(self):
+        d = jnp.array([-5.0, 0.0, 3.0, 20.0])
+        a = raw2alpha(d, shift=1.0, interval=0.5)
+        expect = 1 - (1 + np.exp(np.asarray(d) + 1.0)) ** (-0.5)
+        np.testing.assert_allclose(np.asarray(a), expect, rtol=1e-5)
+
+    def test_raw2alpha_init_bias(self):
+        spec = RaySamplingSpec()
+        a = raw2alpha(jnp.zeros(1), shift=spec.act_shift, interval=1.0)
+        # float32 cancellation near 1.0 dominates; check the scale, not digits
+        np.testing.assert_allclose(np.asarray(a), spec.alpha_init, rtol=0.15)
+
+    def test_alpha2weight_vs_sequential_oracle(self):
+        """Dense masked compositing must equal the CUDA per-ray loop with
+        early exit (`render_utils_kernel.cu:577-651`)."""
+        rng = np.random.default_rng(2)
+        R, S = 4, 50
+        alpha = rng.uniform(0, 0.5, size=(R, S)).astype(np.float32)
+        alpha[1] = 0.9  # force early exit
+        mask = rng.uniform(size=(R, S)) > 0.2
+        w, last = alpha2weight(jnp.asarray(alpha), jnp.asarray(mask))
+        w_o = np.zeros((R, S))
+        last_o = np.zeros(R)
+        for r in range(R):
+            T = 1.0
+            for s in range(S):
+                if not mask[r, s]:
+                    continue
+                w_o[r, s] = T * alpha[r, s]
+                T *= 1 - alpha[r, s]
+                if T < 1e-3:
+                    break
+            last_o[r] = T
+        np.testing.assert_allclose(np.asarray(w), w_o, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(last), last_o, rtol=1e-4, atol=1e-6)
+
+    def test_alpha2weight_grad_vs_float64_oracle(self):
+        """SURVEY §7 hard-part 6: validate transmittance backward numerics."""
+        rng = np.random.default_rng(3)
+        R, S = 2, 10
+        alpha = rng.uniform(0.01, 0.3, size=(R, S))
+        mask = np.ones((R, S), bool)
+        gw = rng.normal(size=(R, S))
+        gl = rng.normal(size=R)
+
+        def loss(a):
+            w, last = alpha2weight(a, jnp.asarray(mask), early_exit_thres=0.0)
+            return (w * gw).sum() + (last * gl).sum()
+
+        grad = np.asarray(jax.grad(loss)(jnp.asarray(alpha, jnp.float32)))
+        # float64 numerical gradient
+        eps = 1e-6
+        num = np.zeros_like(alpha)
+        for r in range(R):
+            for s in range(S):
+                ap, am = alpha.copy(), alpha.copy()
+                ap[r, s] += eps
+                am[r, s] -= eps
+
+                def np_loss(a):
+                    T = np.cumprod(1 - a, axis=1) / (1 - a)
+                    T[:, 0] = 1.0
+                    T = np.concatenate(
+                        [np.ones((R, 1)), np.cumprod(1 - a, axis=1)[:, :-1]], 1
+                    )
+                    w = a * T
+                    last = np.prod(1 - a, axis=1)
+                    return (w * gw).sum() + (last * gl).sum()
+
+                num[r, s] = (np_loss(ap) - np_loss(am)) / (2 * eps)
+        np.testing.assert_allclose(grad, num, rtol=1e-2, atol=1e-4)
+
+    def test_sample_ray_points_inner_outer(self):
+        spec = RaySamplingSpec()
+        o = jnp.array([[0.0, 0.0, 2.2]])  # scene center
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        pts, inner, t = sample_ray_points(o, d, jnp.eye(3), spec)
+        assert pts.shape == (1, spec.num_samples, 3)
+        # points inside radius are unnormalized linear marching
+        npts = np.asarray(pts[0])
+        nin = np.asarray(inner[0])
+        assert nin[:10].all()
+        # contracted outer points have norm in (1, 1 + bg_len]
+        outs = np.linalg.norm(npts[~nin], axis=-1)
+        assert (outs > 1).all() and (outs <= 1 + spec.bg_len + 1e-5).all()
+
+    def test_cumdist_mask_thins_oversampled(self):
+        spec = RaySamplingSpec()
+        R, S = 1, spec.num_samples
+        o = jnp.array([[0.0, 0.0, 2.2]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        pts, inner, _ = sample_ray_points(o, d, jnp.eye(3), spec)
+        keep = np.asarray(cumdist_mask(pts, inner, spec))
+        # all inner points kept
+        assert (keep[np.asarray(inner)]).all()
+        # outer region is thinned but not empty
+        outer = ~np.asarray(inner)
+        assert keep[outer].sum() < outer.sum()
