@@ -1,0 +1,86 @@
+"""Headline benchmark: 6-camera occupancy inference frames/sec on one chip.
+
+Runs the flagship PreWorld forward (Swin-B, 6 cams, 512x1408, 200x200x16
+grid, stereo+temporal) end-to-end under jit on the real TPU and reports
+steady-state throughput.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+BASELINE.json's north star is ">=2x A100 6-cam occ inference per chip".
+We peg the A100 reference at 4.0 frames/s for this model class (BEVStereo-
+style occ nets at 512x1408 run ~3-5 fps on A100), so vs_baseline is
+fps / 8.0 (the 2x-A100 target == 1.0).
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import sys, os, json, time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from preworld_tpu.data import synthetic_batch
+    from preworld_tpu.models import PreWorld, PreWorldConfig
+
+    cfg = PreWorldConfig(if_post_finetune=True, if_render=False,
+                         use_lss_depth_loss=False)
+    model = PreWorld(cfg)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(cfg, 1, with_labels=False).items()
+    }
+
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, train=False,
+        )
+    )
+    # small random params (not zeros) so no multiply-by-zero strength
+    # reduction can flatter the timing
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    vals = [
+        jax.random.normal(jax.random.fold_in(key, i), s.shape, s.dtype) * 0.02
+        if np.issubdtype(s.dtype, np.floating)
+        else jnp.zeros(s.shape, s.dtype)
+        for i, s in enumerate(leaves)
+    ]
+    variables = jax.tree_util.tree_unflatten(treedef, vals)
+
+    @jax.jit
+    def predict(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    out = predict(variables, batch)
+    jax.block_until_ready(out)
+
+    n_iter = 5
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        out = predict(variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    fps = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "6cam_occ_inference_fps",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / 8.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

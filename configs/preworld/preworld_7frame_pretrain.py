@@ -1,0 +1,40 @@
+# Stage 1: self-supervised pre-training via volume rendering.
+# Counterpart of `configs/preworld/nuscenes/preworld-7frame-pretrain.py`.
+
+_base_ = ["./bevstereo_occ.py"]
+
+model = dict(
+    if_pretrain=True,
+    if_render=True,
+    if_post_finetune=False,
+    use_lss_depth_loss=True,
+    weight_voxel_ce=0.0,
+    weight_voxel_sem_scal=0.0,
+    weight_voxel_geo_scal=0.0,
+    weight_voxel_lovasz=0.0,
+    nerf_head=dict(
+        point_cloud_range=[-40.0, -40.0, -1.0, 40.0, 40.0, 5.4],
+        voxel_size=0.4,
+        radius=39,
+        use_depth_sup=True,
+        weight_depth=1.0,
+        weight_semantic=1.0,
+        weight_color=1.0,
+        weight_entropy_last=0.01,
+        weight_distortion=0.01,
+    ),
+)
+
+data = dict(
+    samples_per_gpu=2,
+    train=dict(
+        use_rays=True,
+        aux_frames=[-3, -2, -1, 1, 2, 3],
+        max_ray_nums=38400,
+        depth_gt_path="data/depth_gt",
+        semantic_gt_path="data/seg_gt_lidarseg",
+    ),
+)
+
+runner = dict(max_epochs=6)
+log_interval = 10

@@ -49,13 +49,12 @@ def sensor2keyego_chain(sensor2egos, ego2globals):
       (B, T, N, 4, 4) float32.
     """
     xp = jnp if isinstance(sensor2egos, jnp.ndarray) else np
+    # f64 where available (numpy / x64-enabled jax); rigid inversion is exact
+    # either way, so f32 on device stays well-conditioned.
+    dt = xp.float64 if xp is np else sensor2egos.dtype
     keyego2global = ego2globals[:, 0:1, 0:1]
-    global2keyego = invert_rigid(keyego2global.astype(xp.float64))
-    out = (
-        global2keyego
-        @ ego2globals.astype(xp.float64)
-        @ sensor2egos.astype(xp.float64)
-    )
+    global2keyego = invert_rigid(keyego2global.astype(dt))
+    out = global2keyego @ ego2globals.astype(dt) @ sensor2egos.astype(dt)
     return out.astype(xp.float32)
 
 
@@ -75,8 +74,9 @@ def curr2adjsensor_chain(sensor2egos, ego2globals, temporal_frames: int):
       (B, temporal_frames, N, 4, 4) float32.
     """
     xp = jnp if isinstance(sensor2egos, jnp.ndarray) else np
-    s2e = sensor2egos.astype(xp.float64)
-    e2g = ego2globals.astype(xp.float64)
+    dt = xp.float64 if xp is np else sensor2egos.dtype
+    s2e = sensor2egos.astype(dt)
+    e2g = ego2globals.astype(dt)
     curr_s2e = s2e[:, :temporal_frames]
     curr_e2g = e2g[:, :temporal_frames]
     adj_s2e = s2e[:, 1 : temporal_frames + 1]

@@ -1,0 +1,220 @@
+"""Camera-aware DepthNet with ASPP and the BEVStereo temporal cost volume.
+
+Parity: `mmdet3d/models/necks/view_transformer.py:322-638` (DepthNet, ASPP,
+SELayer, cost volume). Channel-last; the stereo homography warp reuses the
+library grid_sample (align_corners=True, zeros padding) exactly as the
+reference's `F.grid_sample` call (`view_transformer.py:591-593`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample_2d
+from .layers import BasicBlock, ConvNormAct, Mlp, SELayer, interpolate_to
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (`view_transformer.py:355-426`)."""
+
+    inplanes: int
+    mid_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dilations = [1, 6, 12, 18]
+        branches = []
+        for i, d in enumerate(dilations):
+            branches.append(
+                ConvNormAct(
+                    self.mid_channels,
+                    1 if d == 1 else 3,
+                    padding="SAME",
+                    dilation=d,
+                    dtype=self.dtype,
+                    name=f"aspp{i + 1}",
+                )(x, train)
+            )
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gap = ConvNormAct(
+            self.mid_channels, 1, dtype=self.dtype, name="global_branch"
+        )(gap, train)
+        gap = jnp.broadcast_to(
+            gap, (*branches[0].shape[:-1], self.mid_channels)
+        )
+        y = jnp.concatenate(branches + [gap], axis=-1)
+        y = ConvNormAct(self.inplanes, 1, dtype=self.dtype, name="proj")(y, train)
+        y = nn.Dropout(0.5, deterministic=not train)(y)
+        return y
+
+
+def gen_stereo_grid(
+    frustum: jnp.ndarray,
+    k2s_sensor: jnp.ndarray,
+    intrins: jnp.ndarray,
+    post_rots: jnp.ndarray,
+    post_trans: jnp.ndarray,
+    img_size_hw,
+):
+    """Homography warp grid: project the current frame's cv-frustum into the
+    previous frame's image plane (`view_transformer.py:546-574`).
+
+    Args:
+      frustum: (D, H, W, 3) at cv_downsample resolution (pixel coords in the
+               *input image* space + metric depth).
+      k2s_sensor: (B, N, 4, 4) current-sensor -> previous-sensor.
+      intrins, post_rots: (B, N, 3, 3); post_trans: (B, N, 3).
+      img_size_hw: input image (H, W) for normalization.
+    Returns:
+      (B*N, D*H, W, 2) normalized grid; invalid (behind-camera) points at -2.
+    """
+    B, N = k2s_sensor.shape[:2]
+    D, H, W = frustum.shape[:3]
+    hi, wi = img_size_hw
+    pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+    inv_post = jnp.linalg.inv(post_rots)
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
+    pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], -1)
+    rots = k2s_sensor[:, :, :3, :3]
+    trans = k2s_sensor[:, :, :3, 3]
+    combine = rots @ jnp.linalg.inv(intrins)
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
+    pts = pts + trans[:, :, None, None, None, :]
+    neg_mask = pts[..., 2] < 1e-3
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", intrins, pts)
+    pts = pts[..., :2] / pts[..., 2:3]
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", post_rots[:, :, :2, :2], pts)
+    pts = pts + post_trans[:, :, None, None, None, :2]
+    px = pts[..., 0] / (wi - 1.0) * 2.0 - 1.0
+    py = pts[..., 1] / (hi - 1.0) * 2.0 - 1.0
+    px = jnp.where(neg_mask, -2.0, px)
+    py = jnp.where(neg_mask, -2.0, py)
+    grid = jnp.stack([px, py], axis=-1)
+    return grid.reshape(B * N, D * H, W, 2)
+
+
+def stereo_cost_volume(
+    prev_feat: jnp.ndarray,
+    curr_feat: jnp.ndarray,
+    grid: jnp.ndarray,
+    bias: float,
+    depth_chunk: int = 8,
+) -> jnp.ndarray:
+    """Abs-diff plane-sweep cost (`view_transformer.py:576-604`).
+
+    TPU memory note: the reference loops over channel GROUPS to bound the
+    (C, D, H, W) warped tensor on GPU; summing |curr - warp| over all C is
+    identical math, so on TPU we instead scan over DEPTH-plane chunks with
+    `lax.map`, keeping the live intermediate at (BN, C, chunk*H, W) — flat in
+    D — which fits HBM even at 88 depth bins x 6 cams full-res.
+
+    Args:
+      prev_feat, curr_feat: (B*N, H, W, C) stereo features (cv resolution).
+      grid: (B*N, D*H, W, 2) from `gen_stereo_grid`.
+      bias: added where the warp lands outside the previous image.
+    Returns:
+      (B*N, D, H, W) depth probability (softmax over D of negated cost).
+    """
+    BN, H, W, C = curr_feat.shape
+    D = grid.shape[1] // H
+    assert D % depth_chunk == 0, (D, depth_chunk)
+    prev_nchw = prev_feat.transpose(0, 3, 1, 2)
+    curr_nchw = curr_feat.transpose(0, 3, 1, 2)
+    grid_chunks = grid.reshape(BN, D // depth_chunk, depth_chunk * H, W, 2)
+    grid_chunks = grid_chunks.transpose(1, 0, 2, 3, 4)
+
+    def one_chunk(grid_c):
+        warped = grid_sample_2d(prev_nchw, grid_c, align_corners=True)
+        warped = warped.reshape(BN, C, depth_chunk, H, W)
+        diff = jnp.abs(curr_nchw[:, :, None] - warped).sum(axis=1)
+        invalid = warped[:, 0] == 0.0
+        return diff + invalid.astype(diff.dtype) * bias
+
+    cost = jax.lax.map(one_chunk, grid_chunks)  # (D/ck, BN, ck, H, W)
+    cost = cost.transpose(1, 0, 2, 3, 4).reshape(BN, D, H, W)
+    return nn.softmax(-cost, axis=1)
+
+
+class DepthNet(nn.Module):
+    """27-dim camera-conditioned depth + context head (`view_transformer.py:471-638`).
+
+    Input feature (B*N, Hf, Wf, in_channels); returns (B*N, Hf, Wf, D + C_ctx).
+    """
+
+    mid_channels: int
+    context_channels: int
+    depth_channels: int
+    use_aspp: bool = True
+    aspp_mid_channels: int = 96
+    stereo: bool = False
+    cost_volume_bias: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mlp_input: jnp.ndarray,
+        cost_volume: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        mlp_input = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            name="mlp_bn",
+        )(mlp_input.reshape(-1, mlp_input.shape[-1]))
+        x = ConvNormAct(
+            self.mid_channels, 3, use_bias=True, dtype=self.dtype,
+            name="reduce_conv",
+        )(x, train)
+        ctx_se = Mlp(self.mid_channels, self.mid_channels, dtype=self.dtype,
+                     name="context_mlp")(mlp_input)
+        context = SELayer(self.mid_channels, dtype=self.dtype,
+                          name="context_se")(x, ctx_se)
+        context = nn.Conv(
+            self.context_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            name="context_conv",
+        )(context)
+        depth_se = Mlp(self.mid_channels, self.mid_channels, dtype=self.dtype,
+                       name="depth_mlp")(mlp_input)
+        depth = SELayer(self.mid_channels, dtype=self.dtype, name="depth_se")(
+            x, depth_se
+        )
+        in_ch = self.mid_channels
+        if self.stereo:
+            assert cost_volume is not None
+            # two stride-2 conv+bn stages: cv res (input/4) -> feat res (input/16)
+            cv = cost_volume.transpose(0, 2, 3, 1)  # (BN, H, W, D)
+            for i in range(2):
+                cv = ConvNormAct(
+                    self.depth_channels, 3, strides=2, use_bias=True,
+                    act=None, dtype=self.dtype, name=f"cost_volumn_net{i}",
+                )(cv, train)
+            depth = jnp.concatenate([depth, cv], axis=-1)
+            in_ch = self.mid_channels + self.depth_channels
+        depth = BasicBlock(
+            self.mid_channels,
+            downsample=in_ch != self.mid_channels,
+            downsample_kernel=1,
+            downsample_norm=False,
+            dtype=self.dtype,
+            name="depth_block0",
+        )(depth, train)
+        depth = BasicBlock(self.mid_channels, dtype=self.dtype,
+                           name="depth_block1")(depth, train)
+        depth = BasicBlock(self.mid_channels, dtype=self.dtype,
+                           name="depth_block2")(depth, train)
+        if self.use_aspp:
+            depth = ASPP(
+                self.mid_channels, self.aspp_mid_channels, dtype=self.dtype,
+                name="aspp",
+            )(depth, train)
+        depth = nn.Conv(
+            self.depth_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            name="depth_pred",
+        )(depth)
+        return jnp.concatenate([depth, context], axis=-1)

@@ -1,0 +1,235 @@
+"""Volume-rendering supervision head (parameter-free renderer + losses).
+
+Parity: `mmdet3d/models/nerf/nerf_head.py:105-420`. Differences by design
+(TPU static shapes): rays arrive as a FIXED-size (R, 16) array; instead of
+the reference's dynamic compactions (`nerf_head.py:200,228-253`) we mask —
+the `fast_color_thres` cutoffs are reproduced exactly by zeroing alpha /
+weights below threshold (removing a sample from the reference's flat list is
+equivalent to treating it as fully transparent).
+
+The whole render is vmapped over the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample_3d
+from ..ops.render import (
+    RaySamplingSpec,
+    alpha2weight,
+    cumdist_mask,
+    raw2alpha,
+    sample_ray_points,
+)
+
+# occ3d-nuscenes class frequencies (`nerf_head.py:22-24`)
+NUSC_CLASS_FREQUENCIES = np.array(
+    [
+        1163161, 2309034, 188743, 2997643, 20317180, 852476, 243808, 2457947,
+        497017, 2731022, 7224789, 214411435, 5565043, 63191967, 76098082,
+        128860031, 141625221, 2307405309,
+    ],
+    np.float64,
+)
+
+
+def nusc_class_weights(num: int = 17) -> np.ndarray:
+    """1 / log(freq + 0.001) balance weights (`nerf_head.py:160-162`)."""
+    return (1.0 / np.log(NUSC_CLASS_FREQUENCIES[:num] + 0.001)).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfHeadConfig:
+    spec: RaySamplingSpec = RaySamplingSpec()
+    use_depth_sup: bool = True
+    weight_depth: float = 1.0
+    weight_semantic: float = 1.0
+    weight_color: float = 1.0
+    weight_entropy_last: float = 0.01
+    weight_distortion: float = 0.01
+    fast_color_thres: float = 1e-7
+    balance_cls_weight: bool = True
+    max_depth: float = 52.0
+    variance_focus: float = 0.85
+
+
+def _sample_field(field_xyzc: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of an (X, Y, Z, C) field at normalized [-1,1] coords.
+
+    Matches the reference's grid_sample call with `.flip(-1)` coords
+    (`nerf_head.py:209-225`, align_corners=True).
+    """
+    X, Y, Z, C = field_xyzc.shape
+    inp = field_xyzc.transpose(3, 0, 1, 2)[None]  # (1, C, X, Y, Z)
+    grid = pts_norm[..., ::-1][None]  # (1, ..., 3) as (z, y, x)
+    out = grid_sample_3d(inp, grid, align_corners=True)[0]
+    return jnp.moveaxis(out, 0, -1)  # (..., C)
+
+
+def render_scene(
+    density: jnp.ndarray,
+    semantic: jnp.ndarray,
+    color: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    bda: jnp.ndarray,
+    cfg: NerfHeadConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Render depth/semantic/color for R rays against one voxel scene.
+
+    Parity: `render_one_scene` + the three `render_*` reducers
+    (`nerf_head.py:165-269,331-353`).
+
+    Args:
+      density: (X, Y, Z); semantic: (X, Y, Z, 17); color: (X, Y, Z, 3).
+      rays_o/rays_d: (R, 3) in key-ego metres; bda: (3, 3).
+    """
+    spec = cfg.spec
+    pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
+    keep = cumdist_mask(pts, inner, spec)
+
+    lo = jnp.asarray(spec.xyz_min)
+    hi = jnp.asarray(spec.xyz_max)
+    pts_norm = (pts - lo) / (hi - lo) * 2.0 - 1.0
+
+    dens = _sample_field(density[..., None], pts_norm)[..., 0]  # (R, S)
+    sem = _sample_field(semantic, pts_norm)  # (R, S, 17)
+    col = _sample_field(color, pts_norm)  # (R, S, 3)
+
+    alpha = raw2alpha(dens, spec.act_shift, interval=0.5)
+    if cfg.fast_color_thres > 0:
+        keep = keep & (alpha > cfg.fast_color_thres)
+    weights, alphainv_last = alpha2weight(alpha, keep, spec.early_exit_thres)
+    if cfg.fast_color_thres > 0:
+        live = weights > cfg.fast_color_thres
+        weights = jnp.where(live, weights, 0.0)
+    else:
+        live = keep
+
+    s = 1.0 - 1.0 / (1.0 + t)  # (S,)
+    render_depth = (weights * s[None, :]).sum(axis=1) * spec.radius + 1e-7
+    render_sem = (weights[..., None] * sem).sum(axis=1)
+    render_col = (weights[..., None] * col).sum(axis=1)
+    return {
+        "render_depth": render_depth,
+        "render_semantic": render_sem,
+        "render_color": render_col,
+        "alphainv_last": alphainv_last,
+        "weights": weights,
+        "s": jnp.broadcast_to(s[None, :], weights.shape),
+        "live": live,
+    }
+
+
+def _weighted_ce(logits, targets, class_w, mask):
+    """torch CrossEntropyLoss(weight=w, reduction='mean') with a ray mask:
+    sum(w[t] * ce) / sum(w[t]) over masked rays."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    t = targets.astype(jnp.int32)
+    ce = -jnp.take_along_axis(logp, t[:, None], axis=1)[:, 0]
+    w = class_w[jnp.clip(t, 0, class_w.shape[0] - 1)] * mask
+    return (ce * w).sum() / jnp.maximum(w.sum(), 1e-8)
+
+
+def _silog(est, gt, mask, variance_focus=0.85):
+    """Scale-invariant log depth loss (`nerf/utils.py:71-78`), masked."""
+    d = (jnp.log(est) - jnp.log(jnp.maximum(gt, 1e-8))) * mask
+    n = jnp.maximum(mask.sum(), 1.0)
+    mean_sq = (d * d).sum() / n
+    mean = d.sum() / n
+    return jnp.sqrt(jnp.maximum(mean_sq - variance_focus * mean * mean, 1e-12))
+
+
+def _distortion(weights, s, live, mask_ray):
+    """Efficient distortion loss (flatten_eff_distloss parity,
+    `nerf_head.py:295-298`): interval = 1/n_max with n_max = number of
+    surviving samples; normalized by the number of supervised rays."""
+    w = weights * mask_ray[:, None]
+    n_max = jnp.maximum((live * mask_ray[:, None]).sum(), 1.0)
+    interval = 1.0 / n_max
+    wm = w * s
+    w_prefix = jnp.cumsum(w, axis=1) - w
+    wm_prefix = jnp.cumsum(wm, axis=1) - wm
+    loss_bi = 2.0 * (w * (s * w_prefix - wm_prefix)).sum()
+    loss_uni = (1.0 / 3.0) * interval * (w * w).sum()
+    n_rays = jnp.maximum(mask_ray.sum(), 1.0)
+    return (loss_bi + loss_uni) / n_rays
+
+
+def nerf_head_losses(
+    density: jnp.ndarray,
+    semantic: jnp.ndarray,
+    color: jnp.ndarray,
+    rays: jnp.ndarray,
+    bda: jnp.ndarray,
+    cfg: NerfHeadConfig,
+    suffix: str = "",
+) -> Dict[str, jnp.ndarray]:
+    """Batched rendering losses (parity: `NerfHead.forward` + `compute_loss`,
+    `nerf_head.py:271-299,361-420`; temporal suffixing `:301-329`).
+
+    Args:
+      density: (B, X, Y, Z); semantic: (B, X, Y, Z, 17); color: (B, X, Y, Z, 3)
+      rays: (B, R, 16) fixed-size ray records; bda: (B, 3, 3).
+    Returns: dict of scalar losses averaged over the batch.
+    """
+    gt_depth = rays[..., 2]
+    gt_sem = rays[..., 3]
+    rays_o = rays[..., 4:7]
+    rays_d = rays[..., 7:10]
+    gt_color = rays[..., 13:16]
+
+    gt_depth = jnp.where(gt_depth > cfg.max_depth, 0.0, gt_depth)
+    ray_mask = (gt_depth > 0).astype(jnp.float32)
+
+    out = jax.vmap(
+        lambda d, se, co, ro, rd, b: render_scene(d, se, co, ro, rd, b, cfg)
+    )(density, semantic, color, rays_o, rays_d, bda)
+
+    class_w = jnp.asarray(
+        nusc_class_weights() if cfg.balance_cls_weight
+        else np.ones(17, np.float32) / 17.0
+    )
+
+    def per_item(i):
+        m = ray_mask[i]
+        losses = {}
+        if cfg.use_depth_sup:
+            losses["loss_render_depth" + suffix] = cfg.weight_depth * _silog(
+                out["render_depth"][i] + 1e-7, gt_depth[i], m,
+                cfg.variance_focus,
+            )
+        losses["loss_render_semantic" + suffix] = (
+            cfg.weight_semantic
+            * _weighted_ce(out["render_semantic"][i], gt_sem[i], class_w, m)
+        )
+        # l1 color: sum over channels of masked mean (`loss.py:116-122`)
+        diff = jnp.abs(out["render_color"][i] - gt_color[i]) * m[:, None]
+        losses["loss_render_color" + suffix] = cfg.weight_color * (
+            diff.sum(axis=0) / jnp.maximum(m.sum(), 1.0)
+        ).sum()
+        if cfg.weight_entropy_last > 0:
+            pout = jnp.clip(out["alphainv_last"][i], 1e-6, 1 - 1e-6)
+            ent = -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout))
+            losses["loss_sdf_entropy" + suffix] = cfg.weight_entropy_last * (
+                (ent * m).sum() / jnp.maximum(m.sum(), 1.0)
+            )
+        if cfg.weight_distortion > 0:
+            losses["loss_sdf_distortion" + suffix] = (
+                cfg.weight_distortion
+                * _distortion(out["weights"][i], out["s"][i], out["live"][i], m)
+            )
+        return losses
+
+    B = rays.shape[0]
+    acc: Dict[str, jnp.ndarray] = {}
+    for i in range(B):
+        for k, v in per_item(i).items():
+            acc[k] = acc.get(k, 0.0) + v
+    return {k: v / B for k, v in acc.items()}

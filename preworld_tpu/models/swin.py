@@ -1,0 +1,255 @@
+"""Swin Transformer backbone (Swin-B "stbase" config) in flax.linen.
+
+Parity: `mmdet3d/models/backbones/swin.py` (mmcv/mmseg variant) with the
+PreWorld config (`configs/preworld/nuscenes/bevstereo-occ.py:45-67`):
+embed 128, depths [2,2,18,2], heads [4,8,16,32], window 12, out_indices
+(2,3), `return_stereo_feat=True` additionally emits the stage-0
+(pre-downsample) feature for the stereo cost volume (`swin.py:946-971`).
+
+TPU-first notes: channel-last throughout; window partition is pure reshape;
+the shifted-window attention mask is computed in numpy at trace time (static
+shapes); PatchMerging matches mmcv's unfold channel ordering (c*4 + kh*2 +
+kw) so torch checkpoints port by transpose only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nH*nW, ws*ws, C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(wins: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
+    """Inverse of window_partition."""
+    C = wins.shape[-1]
+    B = wins.shape[0] // ((H // ws) * (W // ws))
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """Standard Swin relative-position index table, (ws*ws, ws*ws)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Attention mask for SW-MSA: (nW, ws*ws, ws*ws) with 0 / -100."""
+    img_mask = np.zeros((1, H, W, 1), np.float32)
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    m = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
+    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = m[:, None, :] - m[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowMSA(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: (nW*B, N, C); mask: (nW, N, N) or None."""
+        Bn, N, C = x.shape
+        h = self.num_heads
+        head_dim = C // h
+        scale = head_dim**-0.5
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h),
+        )
+        idx = relative_position_index(self.window_size)
+        bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.reshape(Bn, h, N, N)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: bool
+    mlp_ratio: int = 4
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw, train: bool = False):
+        H, W = hw
+        B, L, C = x.shape
+        ws = min(self.window_size, H, W)
+        shift = ws // 2 if (self.shift and ws < min(H, W)) else 0
+
+        shortcut = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = y.reshape(B, H, W, C)
+        pad_b = (ws - H % ws) % ws
+        pad_r = (ws - W % ws) % ws
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))
+        else:
+            mask = None
+        wins = window_partition(y, ws)
+        wins = WindowMSA(
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(wins, mask)
+        y = window_reverse(wins, ws, Hp, Wp)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :H, :W].reshape(B, L, C)
+        x = shortcut + _drop_path(y, self.drop_path, train, self, "dp1")
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + _drop_path(y, self.drop_path, train, self, "dp2")
+
+
+def _drop_path(x, rate, train, module: nn.Module, name: str):
+    """Stochastic depth (per-sample) as in timm/mmcv."""
+    if rate == 0.0 or not train:
+        return x
+    rng = module.make_rng("dropout")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+class PatchMerging(nn.Module):
+    """2x2 unfold + LN + Linear(4C -> 2C) (mmcv ordering: c*4 + kh*2 + kw)."""
+
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw):
+        H, W = hw
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        pad_b, pad_r = H % 2, W % 2
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        H2, W2 = (H + pad_b) // 2, (W + pad_r) // 2
+        x = x.reshape(B, H2, 2, W2, 2, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(B, H2 * W2, C * 4)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
+        return x, (H2, W2)
+
+
+class SwinTransformer(nn.Module):
+    """Swin backbone; returns features of out_indices (+ optional stage-0)."""
+
+    embed_dims: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 4
+    out_indices: Sequence[int] = (2, 3)
+    drop_path_rate: float = 0.1
+    return_stereo_feat: bool = True
+    patch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool = False, stage0_only: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        """x: (B, H, W, 3) -> tuple of (B, h, w, C_i) channel-last features,
+        prefixed by the stage-0 stereo feature when return_stereo_feat.
+
+        stage0_only: run just patch-embed + stage 0 and return (feat0,) —
+        the stereo-reference path (`bevdet.py:589-603`)."""
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dims,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        H, W = x.shape[1], x.shape[2]
+        x = x.reshape(B, H * W, self.embed_dims)
+        if self.patch_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        total_depth = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_depth)
+        outs = []
+        hw = (H, W)
+        dim = self.embed_dims
+        blk_id = 0
+        for i, depth in enumerate(self.depths):
+            for j in range(depth):
+                x = SwinBlock(
+                    dim,
+                    self.num_heads[i],
+                    self.window_size,
+                    shift=(j % 2 == 1),
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path=float(dpr[blk_id]),
+                    dtype=self.dtype,
+                    name=f"stage{i}_block{j}",
+                )(x, hw, train)
+                blk_id += 1
+            out = x  # pre-downsample stage output (mmcv convention)
+            out_hw = hw
+            if i < len(self.depths) - 1:
+                x, hw = PatchMerging(dim * 2, dtype=self.dtype,
+                                     name=f"downsample{i}")(x, hw)
+                dim *= 2
+            if i == 0 and (self.return_stereo_feat or stage0_only):
+                outs.append(out.reshape(B, *out_hw, out.shape[-1]))
+                if stage0_only:
+                    return tuple(outs)
+            if i in self.out_indices:
+                normed = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{i}")(out)
+                outs.append(normed.reshape(B, *out_hw, normed.shape[-1]))
+        return tuple(outs)

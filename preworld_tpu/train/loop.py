@@ -1,0 +1,95 @@
+"""Epoch-based training loop: logging, checkpointing, eval.
+
+Replaces the reference's mmcv EpochBasedRunner + hooks
+(`mmdet3d/apis/train.py:180-319`): the lr schedule / grad clip / EMA live in
+the optax chain + TrainState; this loop is thin glue around the jitted
+`train_step` with host-side logging and orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoints import latest_step, restore_checkpoint, save_checkpoint
+
+logger = logging.getLogger("preworld_tpu")
+
+
+def train_epochs(
+    state,
+    train_step: Callable,
+    loader,
+    max_epochs: int,
+    work_dir: str,
+    shard_fn: Optional[Callable] = None,
+    log_interval: int = 50,
+    checkpoint_interval: int = 1,
+    rng: Optional[jax.Array] = None,
+    start_epoch: int = 0,
+    eval_fn: Optional[Callable] = None,
+    set_epoch_hooks: Iterable[Callable] = (),
+):
+    """Run `max_epochs` epochs; returns the final state.
+
+    set_epoch_hooks: callables(epoch) — e.g. rollout-curriculum control
+    (reference `CustomSetEpochInfoHook`, `core/hook/set_epoch_info_hook.py`).
+    """
+    os.makedirs(work_dir, exist_ok=True)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    metrics_log = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+
+    for epoch in range(start_epoch, max_epochs):
+        loader.set_epoch(epoch)
+        for hook in set_epoch_hooks:
+            hook(epoch)
+        t_iter = time.time()
+        for it, batch in enumerate(loader):
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_jit(state, batch, sub)
+            if (it + 1) % log_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t_iter) / log_interval
+                t_iter = time.time()
+                rec = {
+                    "epoch": epoch,
+                    "iter": it + 1,
+                    "time_per_iter": round(dt, 3),
+                    **{k: round(v, 5) for k, v in metrics.items()},
+                }
+                logger.info(json.dumps(rec))
+                metrics_log.write(json.dumps(rec) + "\n")
+                metrics_log.flush()
+        if (epoch + 1) % checkpoint_interval == 0:
+            save_checkpoint(
+                os.path.join(work_dir, "checkpoints"), state, int(state.step)
+            )
+        if eval_fn is not None:
+            results = eval_fn(state)
+            logger.info("eval@epoch%d: %s", epoch, results)
+            metrics_log.write(
+                json.dumps({"epoch": epoch, "eval": results}) + "\n"
+            )
+            metrics_log.flush()
+    metrics_log.close()
+    return state
+
+
+def maybe_resume(state, work_dir: str):
+    """Auto-resume from the latest checkpoint in work_dir (reference
+    `--auto-resume`, `utils/patch.py:56-72`). Returns (state, resumed)."""
+    ckpt_dir = os.path.join(work_dir, "checkpoints")
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return state, False
+    restored = restore_checkpoint(ckpt_dir, state, step)
+    return restored, True

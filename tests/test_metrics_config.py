@@ -1,0 +1,88 @@
+"""Tests: mIoU confusion-matrix math + config system."""
+
+import os
+
+import numpy as np
+
+from preworld_tpu.metrics import MetricMIoU, MetricMIoUTemporal, fast_hist
+from preworld_tpu.utils import Config
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "preworld")
+
+
+class TestMIoU:
+    def test_perfect_prediction(self):
+        m = MetricMIoU(use_image_mask=False)
+        gt = np.random.default_rng(0).integers(0, 18, (20, 20, 4))
+        m.add_batch(gt, gt)
+        res = m.count_miou()
+        assert res["mIoU"] == 100.0
+
+    def test_hist_excludes_255(self):
+        gt = np.array([0, 1, 255, 17])
+        pred = np.array([0, 2, 5, 17])
+        h = fast_hist(pred, gt, 18)
+        assert h.sum() == 3  # 255 excluded
+        assert h[1, 2] == 1 and h[0, 0] == 1 and h[17, 17] == 1
+
+    def test_camera_mask(self):
+        m = MetricMIoU(use_image_mask=True)
+        gt = np.zeros((4, 4, 2), np.int64)
+        pred = np.ones((4, 4, 2), np.int64)
+        mask = np.zeros((4, 4, 2), bool)
+        mask[0, 0, 0] = True
+        pred[0, 0, 0] = 0
+        m.add_batch(pred, gt, mask_camera=mask)
+        res = m.count_miou()
+        assert res["per_class"]["others"] == 100.0
+
+    def test_known_iou_value(self):
+        """2-class toy: IoU(class0) = 1/3 by hand."""
+        m = MetricMIoU(num_classes=2, use_image_mask=False)
+        gt = np.array([0, 0, 1, 1])
+        pred = np.array([0, 1, 0, 1])
+        m.add_batch(pred, gt)
+        iou = np.diag(m.hist) / (
+            m.hist.sum(1) + m.hist.sum(0) - np.diag(m.hist)
+        )
+        np.testing.assert_allclose(iou, [1 / 3, 1 / 3])
+
+    def test_temporal_avg(self):
+        m = MetricMIoUTemporal()
+        gt = np.random.default_rng(1).integers(0, 18, (10, 10, 2))
+        m.add_batch({h: gt for h in (0, 1, 2, 3)}, {h: gt for h in (0, 1, 2, 3)})
+        res = m.count_miou()
+        assert res["mIoU_avg_1_3s"] == 100.0
+
+
+class TestConfig:
+    def test_base_inheritance_and_merge(self):
+        cfg = Config.fromfile(
+            os.path.join(CFG_DIR, "preworld_7frame_pretrain.py")
+        )
+        # base value survives
+        assert cfg["grid_config"]["x"] == [-40.0, 40.0, 0.4]
+        # derived override wins
+        assert cfg["model"]["if_pretrain"] is True
+        assert cfg["runner"]["max_epochs"] == 6
+        # deep merge keeps base model keys
+        assert cfg["model"]["num_trans_channels"] == 32
+
+    def test_cfg_options_override(self):
+        cfg = Config.fromfile(
+            os.path.join(CFG_DIR, "preworld_7frame_finetune.py")
+        )
+        cfg.merge_from_options(["model.out_dim=64", "runner.max_epochs=2"])
+        assert cfg["model"]["out_dim"] == 64
+        assert cfg["runner"]["max_epochs"] == 2
+
+    def test_build_model_from_config(self):
+        from preworld_tpu.train.builder import build_model
+
+        cfg = Config.fromfile(
+            os.path.join(CFG_DIR, "preworld_7frame_pretrain.py")
+        )
+        model = build_model(cfg)
+        assert model.cfg.if_pretrain is True
+        assert model.cfg.grid.num_depth_bins == 88
+        assert model.cfg.nerf.spec.num_inner == 391
