@@ -26,7 +26,7 @@ def main():
     from preworld_tpu.models import PreWorld, PreWorldConfig
 
     cfg = PreWorldConfig(if_post_finetune=True, if_render=False,
-                         use_lss_depth_loss=False)
+                         use_lss_depth_loss=False, dtype=jnp.bfloat16)
     model = PreWorld(cfg)
     batch = {
         k: jnp.asarray(v)
@@ -57,15 +57,22 @@ def main():
     def predict(variables, batch):
         return model.apply(variables, batch, train=False)
 
-    out = predict(variables, batch)
-    jax.block_until_ready(out)
+    def run_once(b):
+        out = predict(variables, b)
+        # NOTE: jax.block_until_ready is NOT reliable through the axon TPU
+        # relay — a host readback is the only trustworthy completion barrier.
+        _ = int(np.asarray(out["semantic_occ"][0, 0, 0, 0]))
+        return out
 
+    run_once(batch)  # compile
     n_iter = 5
     times = []
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        # vary the input so any execution-result caching cannot flatter us
+        b = dict(batch)
+        b["imgs"] = batch["imgs"] + np.float32(1e-6 * (i + 1))
         t0 = time.perf_counter()
-        out = predict(variables, batch)
-        jax.block_until_ready(out)
+        run_once(b)
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

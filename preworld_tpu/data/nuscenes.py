@@ -203,7 +203,9 @@ class NuScenesOccDataset:
             "bda": bda,
         }
 
-        # occupancy GT + flips
+        # occupancy GT + flips (subclasses flip future frames consistently)
+        if getattr(self, "_keep_flip_meta", False):
+            sample["__bda_flips"] = (flip_dx, flip_dy)
         if "occ_path" in info:
             occ = load_occ_gt(self._data_path(info["occ_path"]))
             occ = flip_voxels(occ, flip_dx, flip_dy)

@@ -75,8 +75,11 @@ def synthetic_batch(
     num_rays: int = 512,
     seed: int = 0,
     with_labels: bool = True,
+    with_traj: bool = False,
+    num_future: int = 6,
 ) -> Dict[str, np.ndarray]:
-    """A full random-but-consistent training batch for `PreWorld`."""
+    """A full random-but-consistent training batch for `PreWorld`
+    (`with_traj=True` adds the 4-D forecasting supervision keys)."""
     rng = np.random.default_rng(seed)
     H, W = cfg.input_size
     B, T, N = batch_size, cfg.num_frames, cfg.num_cams
@@ -133,4 +136,16 @@ def synthetic_batch(
     rays[..., 10:13] = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     rays[..., 13:16] = rng.uniform(0, 1, (B, num_rays, 3))
     batch["rays"] = rays
+
+    if with_traj:
+        batch["ego_states"] = rng.normal(0, 1, (B, 21)).astype(np.float32)
+        batch["temporal_semantics"] = rng.integers(
+            0, cfg.num_classes, (B, num_future, sx, sy, sz)
+        ).astype(np.int32)
+        batch["temporal_rays"] = np.broadcast_to(
+            rays[:, None], (B, num_future, num_rays, RAY_DIM)
+        ).copy()
+        batch["temporal_trajs"] = rng.normal(
+            0, 1, (B, num_future, 2)
+        ).astype(np.float32)
     return batch

@@ -17,6 +17,7 @@ from .nerf_head import (
 )
 from .swin import SwinTransformer
 from .preworld import PreWorld, PreWorldConfig, TinyBackbone
+from .preworld_traj import PreWorld4DTraj, rollout_curriculum
 
 __all__ = [
     "ConvNormAct", "BasicBlock", "Mlp", "SELayer", "MlpSequence", "upsample",
@@ -27,4 +28,5 @@ __all__ = [
     "NerfHeadConfig", "nerf_head_losses", "render_scene",
     "nusc_class_weights", "SwinTransformer",
     "PreWorld", "PreWorldConfig", "TinyBackbone",
+    "PreWorld4DTraj", "rollout_curriculum",
 ]

@@ -98,9 +98,16 @@ def render_scene(
     hi = jnp.asarray(spec.xyz_max)
     pts_norm = (pts - lo) / (hi - lo) * 2.0 - 1.0
 
-    dens = _sample_field(density[..., None], pts_norm)[..., 0]  # (R, S)
-    sem = _sample_field(semantic, pts_norm)  # (R, S, 17)
-    col = _sample_field(color, pts_norm)  # (R, S, 3)
+    # sample the three fields with ONE fused gather (21 channels): TPU
+    # gathers are descriptor-bound, so a single 21-channel trilinear sample
+    # is ~3x cheaper than density/semantic/color separately (and rows of
+    # 84 B instead of 4 B for the scalar density field)
+    fused = jnp.concatenate([density[..., None], semantic, color], axis=-1)
+    sampled = _sample_field(fused, pts_norm)  # (R, S, 21)
+    nsem = semantic.shape[-1]
+    dens = sampled[..., 0]
+    sem = sampled[..., 1 : 1 + nsem]
+    col = sampled[..., 1 + nsem :]
 
     alpha = raw2alpha(dens, spec.act_shift, interval=0.5)
     if cfg.fast_color_thres > 0:

@@ -164,23 +164,26 @@ class PreWorld(nn.Module):
             name="bev_backbone",
         )
         self.bev_neck = LSSFPN3D(out_channels=nt, dtype=c.dtype, name="bev_neck")
+        # heads run in f32 regardless of the backbone compute dtype: the
+        # rendering/occupancy losses are sensitive to logit precision
         self.final_conv = ConvNormAct(
             c.out_dim, (3, 3, 3), use_bias=True, norm=None, act=nn.relu,
-            dtype=c.dtype, name="final_conv",
+            dtype=jnp.float32, name="final_conv",
         )
         self.occupancy_head = OccHead(
-            in_channels=c.out_dim, out_channel=c.num_classes, dtype=c.dtype,
-            name="occupancy_head",
+            in_channels=c.out_dim, out_channel=c.num_classes,
+            dtype=jnp.float32, name="occupancy_head",
         )
         self.density_mlp = MlpSequence(
-            c.out_dim * 2, 2, final_softplus=True, dtype=c.dtype,
+            c.out_dim * 2, 2, final_softplus=True, dtype=jnp.float32,
             name="density_mlp",
         )
         self.semantic_mlp = MlpSequence(
-            c.out_dim * 2, c.num_classes - 1, dtype=c.dtype, name="semantic_mlp"
+            c.out_dim * 2, c.num_classes - 1, dtype=jnp.float32,
+            name="semantic_mlp",
         )
         self.color_mlp = MlpSequence(
-            c.out_dim * 2, 3, dtype=c.dtype, name="color_mlp"
+            c.out_dim * 2, 3, dtype=jnp.float32, name="color_mlp"
         )
 
     # ---------------- feature extraction ----------------
@@ -269,10 +272,10 @@ class PreWorld(nn.Module):
         x = jnp.concatenate(bev_feats, axis=-1)
         feats = self.bev_backbone(x, train=train)
         x = self.bev_neck(feats, train=train)
-        x = self.final_conv(x, train=train)
+        x = self.final_conv(x.astype(jnp.float32), train=train)
         # (B, Z, Y, X, C) -> (B, X, Y, Z, C) (`preworld.py:239`)
         voxel_feats = jnp.transpose(x, (0, 3, 2, 1, 4))
-        return voxel_feats, depth_key
+        return voxel_feats, depth_key.astype(jnp.float32)
 
     # ---------------- heads ----------------
 

@@ -12,6 +12,7 @@ from typing import Any, Dict
 from ..geometry.frustum import GridConfig
 from ..models.nerf_head import NerfHeadConfig
 from ..models.preworld import PreWorld, PreWorldConfig
+from ..models.preworld_traj import PreWorld4DTraj
 from ..ops.render import RaySamplingSpec
 
 
@@ -77,4 +78,6 @@ def build_model(cfg) -> PreWorld:
         use_focal_loss=bool(m.get("use_focal_loss", True)),
         nerf=build_nerf_config(nerf_cfg, world_len),
     )
+    if m.get("type", "PreWorld") == "PreWorld4DTraj":
+        return PreWorld4DTraj(model_cfg)
     return PreWorld(model_cfg)

@@ -24,7 +24,7 @@ logger = logging.getLogger("preworld_tpu")
 
 def train_epochs(
     state,
-    train_step: Callable,
+    train_step: Optional[Callable],
     loader,
     max_epochs: int,
     work_dir: str,
@@ -35,18 +35,28 @@ def train_epochs(
     start_epoch: int = 0,
     eval_fn: Optional[Callable] = None,
     set_epoch_hooks: Iterable[Callable] = (),
+    step_factory: Optional[Callable] = None,
 ):
     """Run `max_epochs` epochs; returns the final state.
 
     set_epoch_hooks: callables(epoch) — e.g. rollout-curriculum control
     (reference `CustomSetEpochInfoHook`, `core/hook/set_epoch_info_hook.py`).
+    step_factory: optional callable(epoch) -> train_step, for epoch-dependent
+    step functions (forecasting rollout curriculum); caches identical steps.
     """
     os.makedirs(work_dir, exist_ok=True)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    step_jit = jax.jit(train_step, donate_argnums=(0,))
+    if step_factory is None:
+        step_jit = jax.jit(train_step, donate_argnums=(0,))
     metrics_log = open(os.path.join(work_dir, "metrics.jsonl"), "a")
 
+    _step_cache = {}
     for epoch in range(start_epoch, max_epochs):
+        if step_factory is not None:
+            fn = step_factory(epoch)
+            if id(fn) not in _step_cache:
+                _step_cache[id(fn)] = jax.jit(fn, donate_argnums=(0,))
+            step_jit = _step_cache[id(fn)]
         loader.set_epoch(epoch)
         for hook in set_epoch_hooks:
             hook(epoch)

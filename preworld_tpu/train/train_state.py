@@ -102,8 +102,13 @@ def create_train_state(
     )
 
 
-def make_train_step(model, tx: optax.GradientTransformation):
-    """Pure (state, batch, rng) -> (state, metrics) suitable for jit/pjit."""
+def make_train_step(model, tx: optax.GradientTransformation, **apply_kwargs):
+    """Pure (state, batch, rng) -> (state, metrics) suitable for jit/pjit.
+
+    apply_kwargs are forwarded statically to model.apply — e.g.
+    `num_future=` for the forecasting rollout curriculum (a new step function
+    per curriculum stage -> at most a handful of compiles per run).
+    """
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
@@ -113,6 +118,7 @@ def make_train_step(model, tx: optax.GradientTransformation):
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
+                **apply_kwargs,
             )
             total = sum(jax.tree_util.tree_leaves(out))
             return total, (out, mutated.get("batch_stats", state.batch_stats))

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Evaluate 4-D occupancy forecasting (temporal mIoU at 0/1/2/3 s).
+
+CLI parity with the reference `tools/test_temporal.py`: rolls the model out
+6 future steps per sample and scores horizons {0, 2, 4, 6} frames
+(<-> 0/1/2/3 s) with the unmasked temporal mIoU protocol.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test PreWorld4DTraj (TPU)")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from preworld_tpu.utils import Config
+    from preworld_tpu.train.builder import build_model
+    from preworld_tpu.models.preworld_traj import PreWorld4DTraj
+    from preworld_tpu.train import create_train_state, make_optimizer
+    from preworld_tpu.train.loop import maybe_resume
+    from preworld_tpu.metrics import MetricMIoUTemporal
+
+    cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
+    base = build_model(cfg)
+    model = PreWorld4DTraj(base.cfg)
+
+    if args.synthetic:
+        from preworld_tpu.data.synthetic import synthetic_batch
+
+        n = args.num_samples or 2
+        def sample_iter():
+            for i in range(n):
+                s = synthetic_batch(base.cfg, 1, 256, seed=i, with_traj=True)
+                yield s, {
+                    h: s["temporal_semantics"][0, f - 1] if f > 0
+                    else s["voxel_semantics"][0]
+                    for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6))
+                }
+        samples = sample_iter()
+    else:
+        from preworld_tpu.data.nuscenes_traj import NuScenesOccTrajDataset
+
+        data_cfg = cfg.get("data", {})
+        val = data_cfg.get("val", {})
+        dataset = NuScenesOccTrajDataset(
+            ann_file=val["ann_file"],
+            data_config=cfg["data_config"],
+            grid_config=cfg["grid_config"],
+            is_train=False,
+            data_root=data_cfg.get("data_root", ""),
+            ego_gt_path=val.get("ego_gt_path"),
+            traj_gt_path=val.get("traj_gt_path"),
+        )
+        n = args.num_samples or len(dataset)
+
+        def sample_iter():
+            for i in range(n):
+                s = {k: v[None] for k, v in dataset[i].items()}
+                index = dataset.temp2nusc_map[i]
+                from preworld_tpu.data.pipeline import load_occ_gt
+
+                gts = {}
+                for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
+                    finfo = dataset.infos[
+                        min(index + f, len(dataset.infos) - 1)
+                    ]
+                    gts[h] = load_occ_gt(dataset._data_path(finfo["occ_path"]))[
+                        "voxel_semantics"
+                    ]
+                yield s, gts
+        samples = sample_iter()
+
+    tx = make_optimizer()
+    metric = MetricMIoUTemporal(num_classes=18)
+    state = None
+    predict_jit = None
+
+    for sample, gts in samples:
+        batch = {
+            k: jnp.asarray(v) for k, v in sample.items()
+            if not k.startswith("__")
+        }
+        infer = {
+            k: v for k, v in batch.items()
+            if k in ("imgs", "sensor2egos", "ego2globals", "intrins",
+                     "post_rots", "post_trans", "bda", "ego_states")
+        }
+        if state is None:
+            state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+            if args.checkpoint:
+                state, resumed = maybe_resume(state, args.checkpoint)
+                logging.info("checkpoint restored: %s", resumed)
+
+            @jax.jit
+            def predict_jit(params, batch_stats, b):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats}, b,
+                    train=False,
+                )
+
+        out = predict_jit(state.ema_params, state.batch_stats, infer)
+        # horizons 0/1/2/3 s <-> rollout steps 0/2/4/6 (2 Hz keyframes)
+        preds = {
+            h: np.asarray(out[f"semantic_occ_{f}s"][0])
+            for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6))
+        }
+        metric.add_batch(preds, gts)
+
+    print(metric.count_miou())
+
+
+if __name__ == "__main__":
+    main()

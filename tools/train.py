@@ -96,7 +96,10 @@ def main():
                 n_rays = int(
                     data_cfg.get("train", {}).get("max_ray_nums", 4096)
                 ) or 4096
-                b = synthetic_batch(self.model_cfg, 1, num_rays=n_rays, seed=i)
+                b = synthetic_batch(
+                    self.model_cfg, 1, num_rays=n_rays, seed=i,
+                    with_traj=cfg["model"].get("type") == "PreWorld4DTraj",
+                )
                 return {k: v[0] for k, v in b.items()}
 
         dataset = SyntheticDataset(model.cfg)
@@ -143,15 +146,34 @@ def main():
             logging.info("resumed from checkpoint at step %d", int(state.step))
 
     max_epochs = args.epochs or int(cfg.get("runner", {}).get("max_epochs", 12))
+
+    step_factory = None
+    train_step = make_train_step(model, tx)
+    if cfg["model"].get("type") == "PreWorld4DTraj":
+        # rollout-length curriculum (`preworld_temporal_traj.py:440-449`)
+        from functools import lru_cache
+
+        from preworld_tpu.models import rollout_curriculum
+
+        @lru_cache(maxsize=8)
+        def _step_for(n_future):
+            return make_train_step(model, tx, num_future=n_future)
+
+        def step_factory(epoch):
+            return _step_for(rollout_curriculum(epoch, model.cfg.if_render))
+
+        train_step = None
+
     train_epochs(
         state,
-        make_train_step(model, tx),
+        train_step,
         loader,
         max_epochs=max_epochs,
         work_dir=work_dir,
         shard_fn=lambda b: shard_batch(mesh, b),
         log_interval=int(cfg.get("log_interval", 50)),
         rng=jax.random.PRNGKey(args.seed + 1),
+        step_factory=step_factory,
     )
 
 
