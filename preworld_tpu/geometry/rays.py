@@ -136,9 +136,17 @@ def build_rays(
         all_segs = np.concatenate([np.asarray(s) for s in label_segs])
         balance_weight = class_balance_weights(all_segs)
 
+    # native C++ record builder when built (identical math; see
+    # native/ray_builder.cpp), numpy otherwise
+    from ..data import native as _native
+
+    record_fn = (
+        _native.build_ray_records if _native.available() else pts2ray
+    )
+
     dyn = np.asarray(dynamic_classes)
     for i in range(len(coors)):
-        ray = pts2ray(
+        ray = record_fn(
             np.asarray(coors[i], np.float32),
             np.asarray(label_depths[i], np.float32),
             np.asarray(label_segs[i], np.float32),

@@ -23,6 +23,7 @@ from ..geometry.frustum import (
     voxel_indices,
 )
 from ..ops.bev_pool import bev_pool
+from ..ops.bev_pool_pallas import bev_pool_fused
 from .depthnet import DepthNet, gen_stereo_grid, stereo_cost_volume
 
 
@@ -79,6 +80,7 @@ class LSSViewTransformer(nn.Module):
     cost_volume_bias: float = 5.0
     depth_loss_weight: float = 0.05
     aspp_mid_channels: int = 96
+    use_pallas_pool: Optional[bool] = None  # None -> auto (TPU only)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -150,7 +152,13 @@ class LSSViewTransformer(nn.Module):
         vox = voxel_indices(coor, self.grid)
         pix = jnp.asarray(frustum_pixel_indices(B, N, self.D, Hf, Wf))
         nvox = B * self.grid.num_voxels
-        pooled = bev_pool(depth_bnd, feat, vox, pix, nvox)
+        use_pallas = self.use_pallas_pool
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            pooled = bev_pool_fused(depth_bnd, feat, vox, pix, nvox)
+        else:
+            pooled = bev_pool(depth_bnd, feat, vox, pix, nvox)
         sx, sy, sz = (int(v) for v in self.grid.size)
         voxel_feat = pooled.reshape(B, sz, sy, sx, self.out_channels)
         return voxel_feat, depth_bnd

@@ -222,3 +222,55 @@ class TestRays:
             rng=rng,
         )
         assert (rays[:, 0] == 1).all()
+
+
+class TestNativeLib:
+    """C++ data-path core vs the numpy implementations."""
+
+    def test_ray_records_match_numpy(self):
+        import pytest
+        from preworld_tpu.data import native
+        from preworld_tpu.geometry.rays import pts2ray
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(0)
+        n = 1000
+        coor = rng.integers(0, 600, (n, 2)).astype(np.float32)
+        depth = rng.uniform(1, 40, n).astype(np.float32)
+        seg = rng.integers(0, 17, n).astype(np.float32)
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        c2w = rigid(25, [1, -2, 0.5]).astype(np.float32)
+        K = np.array([[500.0, 0, 300], [0, 510.0, 200], [0, 0, 1]], np.float32)
+        ours = native.build_ray_records(coor, depth, seg, rgb, c2w, K)
+        ref = pts2ray(coor, depth, seg, rgb, c2w, K)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    def test_zbuffer_matches_numpy(self):
+        import pytest
+        from preworld_tpu.data import native
+        from preworld_tpu.data.pipeline import points_to_depth_map
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        rng = np.random.default_rng(1)
+        pts = np.stack(
+            [rng.uniform(-5, 70, 5000), rng.uniform(-5, 50, 5000),
+             rng.uniform(0, 50, 5000)], axis=1
+        ).astype(np.float32)
+        ours = native.zbuffer_depth_map(pts, 48, 64, 1.0, 45.0)
+        ref = points_to_depth_map(pts, 48, 64, (1.0, 45.0))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_wrs_topk_respects_weights(self):
+        import pytest
+        from preworld_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        w = np.concatenate([np.full(500, 1e-8), np.full(500, 1.0)]).astype(
+            np.float32
+        )
+        idx = native.wrs_topk(w, 400, seed=7)
+        assert idx.shape == (400,)
+        assert (idx >= 500).mean() > 0.95  # heavy weights dominate

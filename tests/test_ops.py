@@ -244,3 +244,52 @@ class TestRender:
         # outer region is thinned but not empty
         outer = ~np.asarray(inner)
         assert keep[outer].sum() < outer.sum()
+
+
+class TestBevPoolPallas:
+    """Pallas kernel (interpret mode on CPU) vs the XLA segment-sum path."""
+
+    def _case(self, seed=0, B=1, N=2, D=6, H=4, W=5, C=8, nvox=int(1.5 * 512)):
+        from preworld_tpu.geometry import frustum_pixel_indices
+
+        rng = np.random.default_rng(seed)
+        depth = rng.uniform(size=(B, N, D, H, W)).astype(np.float32)
+        feat = rng.normal(size=(B, N, H, W, C)).astype(np.float32)
+        vox = rng.integers(0, nvox + 1, size=(B, N, D, H, W)).astype(np.int32)
+        pix = frustum_pixel_indices(B, N, D, H, W)
+        return depth, feat, vox, pix, nvox
+
+    def test_forward_matches_xla(self):
+        from preworld_tpu.ops.bev_pool_pallas import bev_pool_fused
+
+        depth, feat, vox, pix, nvox = self._case()
+        ours = np.asarray(
+            bev_pool_fused(depth, feat, vox, pix, nvox, pts_cap=512,
+                           interpret=True)
+        )
+        ref = np.asarray(bev_pool(depth, feat, vox, pix, nvox))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_grads_match_xla(self):
+        from preworld_tpu.ops.bev_pool_pallas import bev_pool_fused
+
+        depth, feat, vox, pix, nvox = self._case(1)
+        g = np.random.default_rng(2).normal(size=(nvox, feat.shape[-1])).astype(
+            np.float32
+        )
+
+        def f_pallas(d, fe):
+            return (
+                bev_pool_fused(d, fe, vox, pix, nvox, pts_cap=512,
+                               interpret=True) * g
+            ).sum()
+
+        def f_xla(d, fe):
+            return (bev_pool(d, fe, vox, pix, nvox) * g).sum()
+
+        gd_p, gf_p = jax.grad(f_pallas, argnums=(0, 1))(depth, feat)
+        gd_x, gf_x = jax.grad(f_xla, argnums=(0, 1))(depth, feat)
+        np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                                   rtol=1e-4, atol=1e-5)
