@@ -36,6 +36,7 @@ def train_epochs(
     eval_fn: Optional[Callable] = None,
     set_epoch_hooks: Iterable[Callable] = (),
     step_factory: Optional[Callable] = None,
+    donate: bool = False,
 ):
     """Run `max_epochs` epochs; returns the final state.
 
@@ -46,8 +47,12 @@ def train_epochs(
     """
     os.makedirs(work_dir, exist_ok=True)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    # NOTE: buffer donation combined with NamedSharding-placed inputs hits an
+    # InvalidArgument in the axon TPU relay; default to no donation (costs a
+    # transient params copy) until the backend supports it.
+    dargs = (0,) if donate else ()
     if step_factory is None:
-        step_jit = jax.jit(train_step, donate_argnums=(0,))
+        step_jit = jax.jit(train_step, donate_argnums=dargs)
     metrics_log = open(os.path.join(work_dir, "metrics.jsonl"), "a")
 
     _step_cache = {}
@@ -55,7 +60,7 @@ def train_epochs(
         if step_factory is not None:
             fn = step_factory(epoch)
             if id(fn) not in _step_cache:
-                _step_cache[id(fn)] = jax.jit(fn, donate_argnums=(0,))
+                _step_cache[id(fn)] = jax.jit(fn, donate_argnums=dargs)
             step_jit = _step_cache[id(fn)]
         loader.set_epoch(epoch)
         for hook in set_epoch_hooks:
