@@ -179,3 +179,49 @@ def _pad_rays(rays: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
         return rays[:n].astype(np.float32)
     extra = rng.integers(0, rays.shape[0], size=n - rays.shape[0])
     return np.concatenate([rays, rays[extra]], axis=0).astype(np.float32)
+
+
+RAY_DENSE_DIM = 14
+
+
+def build_rays_dense(
+    coors: Sequence[np.ndarray],
+    label_imgs: Sequence[np.ndarray],
+    c2ws: Sequence[np.ndarray],
+    intrins: Sequence[np.ndarray],
+    max_ray_nums: int,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Dense RGB-only ray records, uniformly subsampled.
+
+    Parity with `generate_rays_dense` (`ray.py:123-168`): 14 floats per ray
+    [u, v, rays_o(3), rays_d(3), viewdirs(3), rgb(3)] — the `if_dense`
+    photometric-only supervision path. Returns (max_ray_nums, 14).
+    """
+    rng = rng or np.random.default_rng(0)
+    ray_list: List[np.ndarray] = []
+    for i in range(len(coors)):
+        coor = np.asarray(coors[i], np.float32)
+        rays_o, rays_d, viewdirs = get_rays(
+            coor[:, 0] + 0.5, coor[:, 1] + 0.5,
+            np.asarray(intrins[i], np.float32), np.asarray(c2ws[i], np.float32),
+        )
+        ray_list.append(
+            np.concatenate(
+                [coor, rays_o, rays_d, viewdirs,
+                 np.asarray(label_imgs[i], np.float32)],
+                axis=1,
+            )
+        )
+    rays = np.concatenate(ray_list, axis=0)
+    if rays.shape[0] > max_ray_nums:
+        idx = rng.choice(rays.shape[0], max_ray_nums, replace=False)
+        rays = rays[idx]
+    return _pad_rays(rays, max_ray_nums, rng)
+
+
+def dense_pixel_coords(height: int, width: int) -> np.ndarray:
+    """All pixel coordinates of an image as (h*w, 2) xy
+    (`generate_dense_coors`, `nuscenes_dataset_occ.py:31-46`)."""
+    xv, yv = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    return np.stack([xv.reshape(-1), yv.reshape(-1)], axis=1).astype(np.float32)

@@ -1,3 +1,17 @@
-from .miou import MetricMIoU, MetricMIoUTemporal, fast_hist
+from .miou import (
+    MetricMIoU,
+    MetricMIoUTemporal,
+    fast_hist,
+    OCC3D_CLASS_NAMES,
+    NUPLAN_CLASS_NAMES,
+)
+from .fscore import MetricFScore
 
-__all__ = ["MetricMIoU", "MetricMIoUTemporal", "fast_hist"]
+__all__ = [
+    "MetricMIoU",
+    "MetricMIoUTemporal",
+    "MetricFScore",
+    "fast_hist",
+    "OCC3D_CLASS_NAMES",
+    "NUPLAN_CLASS_NAMES",
+]

@@ -19,6 +19,13 @@ OCC3D_CLASS_NAMES = [
     "vegetation", "free",
 ]
 
+# OpenScene/nuPlan taxonomy (`occ_metrics.py:188-196`), 11 classes + free
+NUPLAN_CLASS_NAMES = [
+    "vehicle", "place_holder1", "place_holder2", "place_holder3",
+    "czone_sign", "bicycle", "generic_object", "pedestrian", "traffic_cone",
+    "barrier", "background", "free",
+]
+
 
 def fast_hist(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> np.ndarray:
     """Confusion matrix over labels in [0, num_classes) (excludes 255 etc.),
@@ -50,10 +57,16 @@ class MetricMIoU:
         num_classes: int = 18,
         use_image_mask: bool = True,
         use_lidar_mask: bool = False,
+        class_names: Optional[Sequence[str]] = None,
     ):
         self.num_classes = num_classes
         self.use_image_mask = use_image_mask
         self.use_lidar_mask = use_lidar_mask
+        self.class_names = list(
+            class_names
+            if class_names is not None
+            else (NUPLAN_CLASS_NAMES if num_classes == 12 else OCC3D_CLASS_NAMES)
+        )
         self.hist = np.zeros((num_classes, num_classes), np.float64)
         self.cnt = 0
 
@@ -72,7 +85,7 @@ class MetricMIoU:
     def count_miou(self) -> Dict[str, float]:
         iou = per_class_iou(self.hist)
         per_class = {
-            OCC3D_CLASS_NAMES[i]: round(float(iou[i]) * 100, 2)
+            self.class_names[i]: round(float(iou[i]) * 100, 2)
             for i in range(self.num_classes)
         }
         miou = round(float(np.nanmean(iou[: self.num_classes - 1])) * 100, 2)

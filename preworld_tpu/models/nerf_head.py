@@ -44,6 +44,22 @@ def nusc_class_weights(num: int = 17) -> np.ndarray:
     return (1.0 / np.log(NUSC_CLASS_FREQUENCIES[:num] + 0.001)).astype(np.float32)
 
 
+def voxel_class_weights(num_classes: int) -> np.ndarray:
+    """Per-class CE weights incl. the zeroed empty class.
+
+    18-class Occ3D: nuScenes log-balance profile (`preworld.py:60-68`);
+    other taxonomies (nuPlan 12-class): uniform over semantic classes with
+    zero empty — the reference's nuPlan branch is broken/unshipped
+    (`preworld.py:62-65` references an undefined table), so uniform is the
+    sane default; the placeholder classes get masked by the dataset adapter.
+    """
+    if num_classes == 18:
+        w = nusc_class_weights(17)
+    else:
+        w = np.ones(num_classes - 1, np.float32)
+    return np.concatenate([w, np.zeros(1, np.float32)])
+
+
 @dataclasses.dataclass(frozen=True)
 class NerfHeadConfig:
     spec: RaySamplingSpec = RaySamplingSpec()
@@ -199,9 +215,10 @@ def nerf_head_losses(
         lambda d, se, co, ro, rd, b: render_scene(d, se, co, ro, rd, b, cfg)
     )(density, semantic, color, rays_o, rays_d, bda)
 
+    n_sem = semantic.shape[-1]
     class_w = jnp.asarray(
-        nusc_class_weights() if cfg.balance_cls_weight
-        else np.ones(17, np.float32) / 17.0
+        nusc_class_weights(n_sem) if cfg.balance_cls_weight and n_sem == 17
+        else np.ones(n_sem, np.float32) / n_sem
     )
 
     def per_item(i):

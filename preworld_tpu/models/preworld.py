@@ -48,7 +48,12 @@ from ..losses import (
 )
 from .fpn import FPN_LSS, LSSFPN3D
 from .layers import ConvNormAct, MlpSequence
-from .nerf_head import NerfHeadConfig, nerf_head_losses, nusc_class_weights
+from .nerf_head import (
+    NerfHeadConfig,
+    nerf_head_losses,
+    nusc_class_weights,
+    voxel_class_weights,
+)
 from .occ_head import OccHead
 from .resnet import CustomResNet3D
 from .swin import SwinTransformer
@@ -300,9 +305,7 @@ class PreWorld(nn.Module):
         if c.if_post_finetune:
             occ_logits = self.occupancy_logits(voxel_feats, train=train)
             target = batch["voxel_semantics"].astype(jnp.int32)
-            cls_w = jnp.concatenate(
-                [jnp.asarray(nusc_class_weights()), jnp.zeros((1,), jnp.float32)]
-            )
+            cls_w = jnp.asarray(voxel_class_weights(c.num_classes))
             if c.use_focal_loss:
                 losses["loss_voxel_ce"] = (
                     c.weight_voxel_ce

@@ -29,7 +29,7 @@ from ..losses import (
     sem_scal_loss,
 )
 from .layers import MlpSequence
-from .nerf_head import nerf_head_losses, nusc_class_weights
+from .nerf_head import nerf_head_losses, voxel_class_weights
 from .occ_head import DownScale3D
 from .preworld import PreWorld
 
@@ -108,9 +108,7 @@ class PreWorld4DTraj(PreWorld):
     # ------------------------------------------------------------------
     def _voxel_losses(self, occ_logits, target, suffix):
         c = self.cfg
-        cls_w = jnp.concatenate(
-            [jnp.asarray(nusc_class_weights()), jnp.zeros((1,), jnp.float32)]
-        )
+        cls_w = jnp.asarray(voxel_class_weights(c.num_classes))
         out = {}
         if c.use_focal_loss:
             out["loss_voxel_ce" + suffix] = (

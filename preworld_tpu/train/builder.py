@@ -67,6 +67,7 @@ def build_model(cfg) -> PreWorld:
         num_classes=int(m.get("num_classes", 18)),
         out_dim=int(m.get("out_dim", 32)),
         test_threshold=float(m.get("test_threshold", 8.5)),
+        empty_idx=int(m.get("empty_idx", m.get("num_classes", 18) - 1)),
         if_pretrain=bool(m.get("if_pretrain", False)),
         if_render=bool(m.get("if_render", True)),
         if_post_finetune=bool(m.get("if_post_finetune", False)),
