@@ -22,6 +22,17 @@ import jax.numpy as jnp
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="benchmark the cached sequential path (one new frame per step, "
+             "previous BEV feature ego-motion-aligned) instead of the full "
+             "3-frame forward",
+    )
+    args = ap.parse_args()
+
     from preworld_tpu.data import synthetic_batch
     from preworld_tpu.models import PreWorld, PreWorldConfig
 
@@ -52,6 +63,49 @@ def main():
         for i, s in enumerate(leaves)
     ]
     variables = jax.tree_util.tree_unflatten(treedef, vals)
+
+    if args.streaming:
+        frame = {
+            "imgs": batch["imgs"][:, 0],
+            "sensor2egos": batch["sensor2egos"][:, 0],
+            "ego2globals": batch["ego2globals"][:, 0],
+            "intrins": batch["intrins"][:, 0],
+            "post_rots": batch["post_rots"][:, 0],
+            "post_trans": batch["post_trans"][:, 0],
+            "bda": batch["bda"],
+        }
+        cache = model.apply(
+            variables, frame, method=model.init_sequential_cache
+        )
+
+        @jax.jit
+        def step(variables, b, cache):
+            return model.apply(
+                variables, b, cache, method=model.predict_sequential
+            )
+
+        out, cache = step(variables, frame, cache)
+        _ = int(np.asarray(out["semantic_occ"][0, 0, 0, 0]))
+        times = []
+        for i in range(5):
+            b = dict(frame)
+            b["imgs"] = frame["imgs"] + np.float32(1e-6 * (i + 1))
+            t0 = time.perf_counter()
+            out, cache = step(variables, b, cache)
+            _ = int(np.asarray(out["semantic_occ"][0, 0, 0, 0]))
+            times.append(time.perf_counter() - t0)
+        fps = 1.0 / min(times)
+        print(
+            json.dumps(
+                {
+                    "metric": "6cam_occ_streaming_fps",
+                    "value": round(fps, 3),
+                    "unit": "frames/s/chip",
+                    "vs_baseline": round(fps / 8.0, 3),
+                }
+            )
+        )
+        return
 
     @jax.jit
     def predict(variables, batch):

@@ -282,6 +282,110 @@ class PreWorld(nn.Module):
         voxel_feats = jnp.transpose(x, (0, 3, 2, 1, 4))
         return voxel_feats, depth_key.astype(jnp.float32)
 
+    # ---------------- streaming (sequential) inference ----------------
+
+    def predict_sequential(self, batch, cache):
+        """One streaming step: process ONLY the new frame, reuse the cached
+        previous BEV feature + stereo feature.
+
+        TPU-native counterpart of the reference's cached sequential path
+        (`extract_img_feat_sequential`, `bevdet.py:373-396`): the previous
+        frame's voxel feature is ego-motion-aligned by `shift_voxel_feature`
+        instead of being recomputed, halving steady-state work.
+
+        Args:
+          batch: current-frame inputs — imgs (B, N, H, W, 3), sensor2egos /
+            ego2globals (B, N, 4, 4), intrins, post_rots, post_trans, bda.
+          cache: dict with bev_feat (B, Z, Y, X, C) from the previous step
+            (in the previous key-ego frame), stereo_feat (B*N, hc, wc, C0),
+            sensor2egos / ego2globals of the previous frame.
+        Returns: (predictions dict, new cache).
+        """
+        from .temporal_align import shift_voxel_feature
+
+        c = self.cfg
+        imgs = batch["imgs"]
+        B, N = imgs.shape[:2]
+        s2e = batch["sensor2egos"]
+        e2g = batch["ego2globals"]
+        # current frame is the key frame: sensor2keyego w.r.t. cam0 ego
+        key_inv = jnp.linalg.inv(e2g[:, 0:1])
+        s2keyego = key_inv @ e2g @ s2e
+        # current sensor -> previous sensor (stereo warp)
+        prev_pose = cache["ego2globals"] @ cache["sensor2egos"]
+        k2s = jnp.linalg.inv(prev_pose) @ e2g @ s2e
+        cams = {
+            "sensor2keyego": s2keyego,
+            "intrin": batch["intrins"],
+            "post_rot": batch["post_rots"],
+            "post_tran": batch["post_trans"],
+            "bda": batch["bda"],
+            "mlp_input": get_mlp_input(
+                s2keyego, e2g, batch["intrins"], batch["post_rots"],
+                batch["post_trans"], batch["bda"],
+            ),
+        }
+        feat, stereo_feat = self._encode_image(imgs, train=False)
+        stereo = {
+            "prev_feat": cache["stereo_feat"],
+            "curr_feat": stereo_feat,
+            "k2s_sensor": k2s,
+        }
+        voxel, _ = self.view_transformer(feat, cams, stereo=stereo, train=False)
+        voxel = self.pre_process_net(voxel, train=False)[0]
+
+        # previous frame's poses expressed in the CURRENT key ego
+        prev_s2keyego = (key_inv @ prev_pose).astype(jnp.float32)
+        shifted_prev = shift_voxel_feature(
+            cache["bev_feat"].astype(jnp.float32),
+            s2keyego.astype(jnp.float32),
+            prev_s2keyego,
+            batch["bda"],
+            c.grid,
+        ).astype(voxel.dtype)
+
+        x = jnp.concatenate([shifted_prev, voxel], axis=-1)  # [adj, key]
+        feats = self.bev_backbone(x, train=False)
+        x = self.bev_neck(feats, train=False)
+        x = self.final_conv(x.astype(jnp.float32), train=False)
+        voxel_feats = jnp.transpose(x, (0, 3, 2, 1, 4))
+
+        if not c.if_post_finetune:
+            density, semantic, _ = self.predict_attributes(voxel_feats)
+            occupied = density > c.test_threshold
+            sem = jnp.argmax(semantic, axis=-1)
+            occ = jnp.where(occupied, sem, c.num_classes - 1)
+        else:
+            logits = self.occupancy_logits(voxel_feats, train=False)
+            occ = jnp.argmax(logits, axis=-1)
+        new_cache = {
+            "bev_feat": voxel,
+            "stereo_feat": stereo_feat,
+            "sensor2egos": s2e,
+            "ego2globals": e2g,
+        }
+        return {"semantic_occ": occ.astype(jnp.int32)}, new_cache
+
+    def init_sequential_cache(self, batch):
+        """Zero cache for the first streaming step (reference with_prev=False
+        start, `bevdet.py:688-704`)."""
+        c = self.cfg
+        B, N = batch["imgs"].shape[:2]
+        sx, sy, sz = (int(v) for v in c.grid.size)
+        hc = c.input_size[0] // 4
+        wc = c.input_size[1] // 4
+        c0 = (
+            c.swin_embed_dims if c.backbone == "swin" else 16
+        )
+        return {
+            "bev_feat": jnp.zeros(
+                (B, sz, sy, sx, c.num_trans_channels), c.dtype
+            ),
+            "stereo_feat": jnp.zeros((B * N, hc, wc, c0), c.dtype),
+            "sensor2egos": batch["sensor2egos"],
+            "ego2globals": batch["ego2globals"],
+        }
+
     # ---------------- heads ----------------
 
     def predict_attributes(self, voxel_feats):

@@ -137,3 +137,77 @@ class TestMultiDevice:
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss_total"]))
         assert int(new_state.step) == 1
+
+
+class TestSequentialStreaming:
+    def test_two_streaming_steps(self):
+        """predict_sequential: cache init + 2 steps, finite int outputs."""
+        cfg = tiny_config(if_post_finetune=True, if_render=False,
+                          use_lss_depth_loss=False)
+        model = PreWorld(cfg)
+        full = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, 1, 64).items()}
+        from preworld_tpu.train import create_train_state, make_optimizer
+
+        state = create_train_state(model, full, make_optimizer(),
+                                   jax.random.PRNGKey(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def frame_batch(t):
+            return {
+                "imgs": full["imgs"][:, t],
+                "sensor2egos": full["sensor2egos"][:, t],
+                "ego2globals": full["ego2globals"][:, t],
+                "intrins": full["intrins"][:, t],
+                "post_rots": full["post_rots"][:, t],
+                "post_trans": full["post_trans"][:, t],
+                "bda": full["bda"],
+            }
+
+        cache = model.apply(
+            variables, frame_batch(0), method=model.init_sequential_cache
+        )
+        for t in (0, 1):
+            out, cache = model.apply(
+                variables, frame_batch(t), cache,
+                method=model.predict_sequential,
+            )
+            sx, sy, sz = (int(v) for v in cfg.grid.size)
+            assert out["semantic_occ"].shape == (1, sx, sy, sz)
+            occ = np.asarray(out["semantic_occ"])
+            assert occ.min() >= 0 and occ.max() <= 17
+        assert cache["bev_feat"].shape[0] == 1
+
+
+class TestShiftFeature:
+    def test_identity_motion_is_identity(self):
+        """Zero ego motion => shift_voxel_feature is (interior) identity."""
+        from preworld_tpu.geometry import GridConfig
+        from preworld_tpu.models.temporal_align import shift_voxel_feature
+
+        grid = GridConfig(x=(-8, 8, 1.0), y=(-8, 8, 1.0), z=(0, 4, 1.0))
+        rng = np.random.default_rng(0)
+        feat = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 3)).astype(np.float32))
+        pose = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, 2, 1, 1))
+        out = shift_voxel_feature(feat, pose, pose, jnp.eye(3)[None], grid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(feat), atol=1e-4)
+
+    def test_translation_shifts_cells(self):
+        """1-cell ego translation in x moves features by one X cell."""
+        from preworld_tpu.geometry import GridConfig
+        from preworld_tpu.models.temporal_align import shift_voxel_feature
+
+        grid = GridConfig(x=(-8, 8, 1.0), y=(-8, 8, 1.0), z=(0, 4, 1.0))
+        rng = np.random.default_rng(1)
+        feat = jnp.asarray(rng.normal(size=(1, 1, 16, 16, 2)).astype(np.float32))
+        curr = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, 1, 1, 1))
+        prev = curr.at[:, :, 0, 3].add(1.0)  # prev cam sits 1 m ahead in x
+        out = np.asarray(
+            shift_voxel_feature(
+                feat, curr, prev, jnp.eye(3)[None], grid
+            )
+        )
+        ref = np.asarray(feat)
+        # current cell x should sample prev feature at x - 1 cell
+        np.testing.assert_allclose(
+            out[0, 0, :, 1:, :], ref[0, 0, :, :-1, :], atol=1e-4
+        )
