@@ -18,6 +18,8 @@ from .nerf_head import (
 from .swin import SwinTransformer
 from .preworld import PreWorld, PreWorldConfig, TinyBackbone
 from .preworld_traj import PreWorld4DTraj, rollout_curriculum
+from .bevstereo_occ import BEVStereoOCC
+from .temporal_align import shift_voxel_feature, ego_motion_grid
 
 __all__ = [
     "ConvNormAct", "BasicBlock", "Mlp", "SELayer", "MlpSequence", "upsample",
@@ -28,5 +30,6 @@ __all__ = [
     "NerfHeadConfig", "nerf_head_losses", "render_scene",
     "nusc_class_weights", "SwinTransformer",
     "PreWorld", "PreWorldConfig", "TinyBackbone",
-    "PreWorld4DTraj", "rollout_curriculum",
+    "PreWorld4DTraj", "rollout_curriculum", "BEVStereoOCC",
+    "shift_voxel_feature", "ego_motion_grid",
 ]

@@ -73,6 +73,11 @@ class NerfHeadConfig:
     balance_cls_weight: bool = True
     max_depth: float = 52.0
     variance_focus: float = 0.85
+    # rays rendered per lax.map step: the trilinear patch gather materializes
+    # ~4 KB per (ray, sample) after TPU lane padding, so 38400 x 417 at once
+    # would need ~65 GB; chunking + rematerialization keeps the live footprint
+    # at chunk*417*4KB (and recomputes the gathers in the backward).
+    ray_chunk: int = 1200
 
 
 def _sample_field(field_xyzc: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray:
@@ -100,12 +105,33 @@ def render_scene(
     """Render depth/semantic/color for R rays against one voxel scene.
 
     Parity: `render_one_scene` + the three `render_*` reducers
-    (`nerf_head.py:165-269,331-353`).
-
-    Args:
-      density: (X, Y, Z); semantic: (X, Y, Z, 17); color: (X, Y, Z, 3).
-      rays_o/rays_d: (R, 3) in key-ego metres; bda: (3, 3).
+    (`nerf_head.py:165-269,331-353`). Rays are processed in `cfg.ray_chunk`
+    slices under `jax.checkpoint` (see NerfHeadConfig.ray_chunk).
     """
+    R = rays_o.shape[0]
+    chunk = min(cfg.ray_chunk, R)
+    if R % chunk != 0:  # fall back to one pass for odd test sizes
+        chunk = R
+    n_chunks = R // chunk
+
+    @jax.checkpoint
+    def one_chunk(args):
+        ro, rd = args
+        return _render_rays(density, semantic, color, ro, rd, bda, cfg)
+
+    if n_chunks == 1:
+        return _render_rays(density, semantic, color, rays_o, rays_d, bda, cfg)
+    out = jax.lax.map(
+        one_chunk,
+        (
+            rays_o.reshape(n_chunks, chunk, 3),
+            rays_d.reshape(n_chunks, chunk, 3),
+        ),
+    )
+    return {k: v.reshape(R, *v.shape[2:]) for k, v in out.items()}
+
+
+def _render_rays(density, semantic, color, rays_o, rays_d, bda, cfg):
     spec = cfg.spec
     pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
     keep = cumdist_mask(pts, inner, spec)

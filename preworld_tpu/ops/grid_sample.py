@@ -133,40 +133,73 @@ def grid_sample_3d(
     fy = fy.astype(input.dtype)
     fz = fz.astype(input.dtype)
 
-    # one (2,2,2,C) patch gather per sample over a 1-voxel zero-padded table
-    # (see _patch_gather_2x2 for the rationale + border semantics)
-    table = jnp.pad(
-        input.transpose(0, 2, 3, 4, 1),
-        ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
-    )  # (B, D+2, H+2, W+2, C)
+    if C >= 64:
+        # wide channels: one (2,2,2,C) patch gather per sample over a
+        # zero-padded table (see _patch_gather_2x2) — descriptor-optimal
+        table = jnp.pad(
+            input.transpose(0, 2, 3, 4, 1),
+            ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+        )  # (B, D+2, H+2, W+2, C)
 
-    def gather_one(tbl, zi, yi, xi):
-        Dp, Hp, Wp, Cc = tbl.shape
-        zs = jnp.clip(zi + 1, 0, Dp - 2).astype(jnp.int32)
-        ys = jnp.clip(yi + 1, 0, Hp - 2).astype(jnp.int32)
-        xs = jnp.clip(xi + 1, 0, Wp - 2).astype(jnp.int32)
-        starts = jnp.stack([zs, ys, xs], axis=-1)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3, 4),
-            collapsed_slice_dims=(),
-            start_index_map=(0, 1, 2),
+        def gather_one(tbl, zi, yi, xi):
+            Dp, Hp, Wp, Cc = tbl.shape
+            zs = jnp.clip(zi + 1, 0, Dp - 2).astype(jnp.int32)
+            ys = jnp.clip(yi + 1, 0, Hp - 2).astype(jnp.int32)
+            xs = jnp.clip(xi + 1, 0, Wp - 2).astype(jnp.int32)
+            starts = jnp.stack([zs, ys, xs], axis=-1)
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3, 4),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1, 2),
+            )
+            return jax.lax.gather(
+                tbl, starts, dnums, slice_sizes=(2, 2, 2, Cc),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )  # (P, 2, 2, 2, C)
+
+        patches = jax.vmap(gather_one)(
+            table, z0.astype(jnp.int32), y0.astype(jnp.int32),
+            x0.astype(jnp.int32),
         )
-        return jax.lax.gather(
-            tbl, starts, dnums, slice_sizes=(2, 2, 2, Cc),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )  # (P, 2, 2, 2, C)
+        wz = jnp.stack([1 - fz, fz], axis=-1)
+        wy = jnp.stack([1 - fy, fy], axis=-1)
+        wx = jnp.stack([1 - fx, fx], axis=-1)
+        out = jnp.einsum("bpzyxc,bpz,bpy,bpx->bpc", patches, wz, wy, wx)
+        valid = (
+            (x0 + 1 >= 0) & (x0 <= W - 1)
+            & (y0 + 1 >= 0) & (y0 <= H - 1)
+            & (z0 + 1 >= 0) & (z0 <= D - 1)
+        )
+        out = out * valid[..., None].astype(input.dtype)
+        return out.transpose(0, 2, 1).reshape(B, C, *spatial)
 
-    patches = jax.vmap(gather_one)(
-        table, z0.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)
+    # narrow channels (e.g. the 21-ch fused NeRF field): patch outputs pad
+    # their trailing (2, C) dims to TPU (8, 128) tiles — a 16-64x memory
+    # blowup — so fetch the 8 corners as plain row gathers instead; XLA
+    # schedules the corner buffers sequentially
+    table = input.reshape(B, C, D * H * W).transpose(0, 2, 1)  # (B, DHW, C)
+
+    def corner(xi, yi, zi, w):
+        inb = (
+            (xi >= 0) & (xi <= W - 1)
+            & (yi >= 0) & (yi <= H - 1)
+            & (zi >= 0) & (zi <= D - 1)
+        )
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        zc = jnp.clip(zi, 0, D - 1).astype(jnp.int32)
+        idx = (zc * H + yc) * W + xc
+        vals = jax.vmap(lambda t, i: t[i])(table, idx)  # (B, P, C)
+        return vals * (w * inb).astype(input.dtype)[..., None]
+
+    out = (
+        corner(x0, y0, z0, (1 - fx) * (1 - fy) * (1 - fz))
+        + corner(x0 + 1, y0, z0, fx * (1 - fy) * (1 - fz))
+        + corner(x0, y0 + 1, z0, (1 - fx) * fy * (1 - fz))
+        + corner(x0 + 1, y0 + 1, z0, fx * fy * (1 - fz))
+        + corner(x0, y0, z0 + 1, (1 - fx) * (1 - fy) * fz)
+        + corner(x0 + 1, y0, z0 + 1, fx * (1 - fy) * fz)
+        + corner(x0, y0 + 1, z0 + 1, (1 - fx) * fy * fz)
+        + corner(x0 + 1, y0 + 1, z0 + 1, fx * fy * fz)
     )
-    wz = jnp.stack([1 - fz, fz], axis=-1)
-    wy = jnp.stack([1 - fy, fy], axis=-1)
-    wx = jnp.stack([1 - fx, fx], axis=-1)
-    out = jnp.einsum("bpzyxc,bpz,bpy,bpx->bpc", patches, wz, wy, wx)
-    valid = (
-        (x0 + 1 >= 0) & (x0 <= W - 1)
-        & (y0 + 1 >= 0) & (y0 <= H - 1)
-        & (z0 + 1 >= 0) & (z0 <= D - 1)
-    )
-    out = out * valid[..., None].astype(input.dtype)
     return out.transpose(0, 2, 1).reshape(B, C, *spatial)

@@ -79,6 +79,11 @@ def build_model(cfg) -> PreWorld:
         use_focal_loss=bool(m.get("use_focal_loss", True)),
         nerf=build_nerf_config(nerf_cfg, world_len),
     )
-    if m.get("type", "PreWorld") == "PreWorld4DTraj":
+    mtype = m.get("type", "PreWorld")
+    if mtype == "PreWorld4DTraj":
         return PreWorld4DTraj(model_cfg)
+    if mtype == "BEVStereo4DOCC":
+        from ..models.bevstereo_occ import BEVStereoOCC
+
+        return BEVStereoOCC(model_cfg)
     return PreWorld(model_cfg)

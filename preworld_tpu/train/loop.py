@@ -37,6 +37,7 @@ def train_epochs(
     set_epoch_hooks: Iterable[Callable] = (),
     step_factory: Optional[Callable] = None,
     donate: bool = False,
+    max_iters_per_epoch: Optional[int] = None,
 ):
     """Run `max_epochs` epochs; returns the final state.
 
@@ -67,6 +68,8 @@ def train_epochs(
             hook(epoch)
         t_iter = time.time()
         for it, batch in enumerate(loader):
+            if max_iters_per_epoch is not None and it >= max_iters_per_epoch:
+                break
             if shard_fn is not None:
                 batch = shard_fn(batch)
             rng, sub = jax.random.split(rng)

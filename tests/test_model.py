@@ -211,3 +211,35 @@ class TestShiftFeature:
         np.testing.assert_allclose(
             out[0, 0, :, 1:, :], ref[0, 0, :, :-1, :], atol=1e-4
         )
+
+
+class TestBEVStereoOCCBaseline:
+    def test_loss_and_predict(self):
+        from preworld_tpu.models import BEVStereoOCC
+
+        cfg = tiny_config(if_post_finetune=False, if_render=False,
+                          use_lss_depth_loss=True)
+        model = BEVStereoOCC(cfg)
+        batch = {
+            k: jnp.asarray(v) for k, v in synthetic_batch(cfg, 1, 64).items()
+        }
+        state = create_train_state(model, batch, make_optimizer(),
+                                   jax.random.PRNGKey(0))
+        losses = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False,
+        )
+        assert set(losses) == {"loss_occ", "loss_depth"}
+        for v in losses.values():
+            assert np.isfinite(float(v))
+        infer = {
+            k: v for k, v in batch.items()
+            if k in ("imgs", "sensor2egos", "ego2globals", "intrins",
+                     "post_rots", "post_trans", "bda")
+        }
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            infer, train=False,
+        )
+        sx, sy, sz = (int(v) for v in cfg.grid.size)
+        assert out["semantic_occ"].shape == (1, sx, sy, sz)

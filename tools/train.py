@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--resume-from", default=None)
     p.add_argument("--auto-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validate", action="store_true",
+                   help="run mIoU eval after each epoch (reference EvalHook)")
+    p.add_argument("--val-samples", type=int, default=64)
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data (no nuScenes needed)")
     p.add_argument("--max-iters", type=int, default=None,
@@ -164,6 +167,58 @@ def main():
 
         train_step = None
 
+    eval_fn = None
+    if args.validate:
+        from preworld_tpu.metrics import MetricMIoU
+
+        if args.synthetic:
+            val_samples = [
+                dataset[i] for i in range(min(args.val_samples, len(dataset)))
+            ]
+            val_dataset = None
+        else:
+            from preworld_tpu.data.nuscenes import NuScenesOccDataset
+
+            val_dataset = NuScenesOccDataset(
+                ann_file=data_cfg["val"]["ann_file"],
+                data_config=cfg["data_config"],
+                grid_config=cfg["grid_config"],
+                is_train=False,
+                data_root=data_cfg.get("data_root", ""),
+            )
+            val_samples = [
+                val_dataset[i]
+                for i in range(min(args.val_samples, len(val_dataset)))
+            ]
+
+        infer_keys = ("imgs", "sensor2egos", "ego2globals", "intrins",
+                      "post_rots", "post_trans", "bda")
+
+        @jax.jit
+        def _predict(params, batch_stats, b):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, b, train=False
+            )
+
+        def eval_fn(st):
+            metric = MetricMIoU(
+                num_classes=model.cfg.num_classes, use_image_mask=True
+            )
+            for s in val_samples:
+                b = {
+                    k: jnp.asarray(v[None]) for k, v in s.items()
+                    if k in infer_keys
+                }
+                b["bda"] = jnp.asarray(s["bda"][None])
+                out = _predict(st.ema_params, st.batch_stats, b)
+                if "voxel_semantics" in s:
+                    metric.add_batch(
+                        np.asarray(out["semantic_occ"][0]),
+                        s["voxel_semantics"],
+                        mask_camera=s.get("mask_camera"),
+                    )
+            return metric.count_miou()
+
     train_epochs(
         state,
         train_step,
@@ -174,6 +229,8 @@ def main():
         log_interval=int(cfg.get("log_interval", 50)),
         rng=jax.random.PRNGKey(args.seed + 1),
         step_factory=step_factory,
+        max_iters_per_epoch=args.max_iters,
+        eval_fn=eval_fn,
     )
 
 
