@@ -95,6 +95,11 @@ class PreWorldConfig:
     use_focal_loss: bool = True
     balance_cls_weight: bool = True
     nerf: NerfHeadConfig = NerfHeadConfig()
+    # segment-wise rematerialization (training memory): recompute the image
+    # backbone / view transformer / bev encoder activations in the backward
+    # instead of storing them (jax.checkpoint per module). Needed to fit the
+    # flagship train step in 16 GB HBM; costs ~1 extra forward.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -129,8 +134,25 @@ class PreWorld(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # static_argnums count the bound module as arg 0
+        SwinT = (
+            nn.remat(SwinTransformer, static_argnums=(2, 3))
+            if c.remat else SwinTransformer
+        )
+        Tiny = (
+            nn.remat(TinyBackbone, static_argnums=(2, 3))
+            if c.remat else TinyBackbone
+        )
+        ViewT = (
+            nn.remat(LSSViewTransformer, static_argnums=(4,))
+            if c.remat else LSSViewTransformer
+        )
+        Res3D = (
+            nn.remat(CustomResNet3D, static_argnums=(2,))
+            if c.remat else CustomResNet3D
+        )
         if c.backbone == "swin":
-            self.img_backbone = SwinTransformer(
+            self.img_backbone = SwinT(
                 embed_dims=c.swin_embed_dims,
                 depths=c.swin_depths,
                 num_heads=c.swin_num_heads,
@@ -140,11 +162,11 @@ class PreWorld(nn.Module):
                 name="img_backbone",
             )
         else:
-            self.img_backbone = TinyBackbone(dtype=c.dtype, name="img_backbone")
+            self.img_backbone = Tiny(dtype=c.dtype, name="img_backbone")
         self.img_neck = FPN_LSS(
             out_channels=c.neck_out_channels, dtype=c.dtype, name="img_neck"
         )
-        self.view_transformer = LSSViewTransformer(
+        self.view_transformer = ViewT(
             grid=c.grid,
             input_size=c.input_size,
             downsample=16,
@@ -156,11 +178,11 @@ class PreWorld(nn.Module):
             name="view_transformer",
         )
         nt = c.num_trans_channels
-        self.pre_process_net = CustomResNet3D(
+        self.pre_process_net = Res3D(
             num_layer=(1,), num_channels=(nt,), stride=(1,),
             backbone_output_ids=(0,), dtype=c.dtype, name="pre_process",
         )
-        self.bev_backbone = CustomResNet3D(
+        self.bev_backbone = Res3D(
             num_layer=(1, 2, 4),
             num_channels=(nt, nt * 2, nt * 4),
             stride=(1, 2, 2),
@@ -197,7 +219,7 @@ class PreWorld(nn.Module):
         """(B, N, H, W, 3) -> ((B, N, hf, wf, C_neck), stereo_feat (B*N,...))."""
         B, N = imgs.shape[:2]
         x = imgs.reshape(B * N, *imgs.shape[2:])
-        feats = self.img_backbone(x, train=train)
+        feats = self.img_backbone(x, train, False)
         stereo_feat = feats[0]
         neck = self.img_neck(feats[1:], train=train)
         hf, wf, cc = neck.shape[1:]
@@ -234,9 +256,7 @@ class PreWorld(nn.Module):
             extra_ref = fid >= c.temporal_frames
             if extra_ref:
                 x = frame_imgs.reshape(B * N, *frame_imgs.shape[2:])
-                stereo_feat_prev = self.img_backbone(
-                    x, train=train, stage0_only=True
-                )[0]
+                stereo_feat_prev = self.img_backbone(x, train, True)[0]
                 stereo_feat_prev = jax.lax.stop_gradient(stereo_feat_prev)
                 continue
             cams = {
@@ -261,10 +281,8 @@ class PreWorld(nn.Module):
                 "curr_feat": jax.lax.stop_gradient(stereo_feat),
                 "k2s_sensor": curr2adj[:, fid],
             }
-            voxel, depth = self.view_transformer(
-                feat, cams, stereo=stereo, train=train
-            )
-            voxel = self.pre_process_net(voxel, train=train)[0]
+            voxel, depth = self.view_transformer(feat, cams, stereo, train)
+            voxel = self.pre_process_net(voxel, train)[0]
             if key_frame:
                 depth_key = depth
             else:
@@ -275,7 +293,7 @@ class PreWorld(nn.Module):
         # list currently [adj, key] by loop order; reference concatenates in
         # exactly this order along channels (`bevdet.py:683,711`).
         x = jnp.concatenate(bev_feats, axis=-1)
-        feats = self.bev_backbone(x, train=train)
+        feats = self.bev_backbone(x, train)
         x = self.bev_neck(feats, train=train)
         x = self.final_conv(x.astype(jnp.float32), train=train)
         # (B, Z, Y, X, C) -> (B, X, Y, Z, C) (`preworld.py:239`)
@@ -331,8 +349,8 @@ class PreWorld(nn.Module):
             "curr_feat": stereo_feat,
             "k2s_sensor": k2s,
         }
-        voxel, _ = self.view_transformer(feat, cams, stereo=stereo, train=False)
-        voxel = self.pre_process_net(voxel, train=False)[0]
+        voxel, _ = self.view_transformer(feat, cams, stereo, False)
+        voxel = self.pre_process_net(voxel, False)[0]
 
         # previous frame's poses expressed in the CURRENT key ego
         prev_s2keyego = (key_inv @ prev_pose).astype(jnp.float32)
@@ -345,7 +363,7 @@ class PreWorld(nn.Module):
         ).astype(voxel.dtype)
 
         x = jnp.concatenate([shifted_prev, voxel], axis=-1)  # [adj, key]
-        feats = self.bev_backbone(x, train=False)
+        feats = self.bev_backbone(x, False)
         x = self.bev_neck(feats, train=False)
         x = self.final_conv(x.astype(jnp.float32), train=False)
         voxel_feats = jnp.transpose(x, (0, 3, 2, 1, 4))
