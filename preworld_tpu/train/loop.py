@@ -38,6 +38,7 @@ def train_epochs(
     step_factory: Optional[Callable] = None,
     donate: bool = False,
     max_iters_per_epoch: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Run `max_epochs` epochs; returns the final state.
 
@@ -73,6 +74,20 @@ def train_epochs(
             if shard_fn is not None:
                 batch = shard_fn(batch)
             rng, sub = jax.random.split(rng)
+            # profile a few steady-state iterations (reference analog:
+            # IterTimerHook + get_flops; here a full XLA device trace)
+            if profile_dir and epoch == start_epoch and it == 8:
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception as e:  # backend may not support tracing
+                    logger.warning("profiler unavailable: %s", e)
+                    profile_dir = None
+            if profile_dir and epoch == start_epoch and it == 12:
+                try:
+                    jax.profiler.stop_trace()
+                    logger.info("profile written to %s", profile_dir)
+                except Exception:
+                    pass
             state, metrics = step_jit(state, batch, sub)
             if (it + 1) % log_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -33,6 +33,8 @@ def parse_args():
                    help="use synthetic data (no nuScenes needed)")
     p.add_argument("--max-iters", type=int, default=None,
                    help="cap iterations per epoch (debug)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an XLA device trace of a few steady iters")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument(
         "--cfg-options", nargs="+", default=[],
@@ -231,6 +233,7 @@ def main():
         step_factory=step_factory,
         max_iters_per_epoch=args.max_iters,
         eval_fn=eval_fn,
+        profile_dir=args.profile_dir,
     )
 
 
