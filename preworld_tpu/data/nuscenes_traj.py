@@ -14,7 +14,6 @@ Extra files (same formats the reference consumes):
 
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Dict, Optional, Sequence
 

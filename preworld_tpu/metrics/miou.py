@@ -8,7 +8,7 @@ evaluation protocol (camera-visible mask for 3D, unmasked for 4D).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

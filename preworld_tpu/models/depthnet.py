@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid_sample import grid_sample_2d
-from .layers import BasicBlock, ConvNormAct, Mlp, SELayer, interpolate_to
+from .layers import BasicBlock, ConvNormAct, Mlp, SELayer
 
 
 class ASPP(nn.Module):

@@ -13,7 +13,7 @@ The whole render is vmapped over the batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

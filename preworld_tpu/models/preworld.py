@@ -30,12 +30,11 @@ Batch layout (all device arrays, channel-last):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.frustum import GridConfig
 from ..geometry.transforms import curr2adjsensor_chain, sensor2keyego_chain
@@ -51,7 +50,6 @@ from .layers import ConvNormAct, MlpSequence
 from .nerf_head import (
     NerfHeadConfig,
     nerf_head_losses,
-    nusc_class_weights,
     voxel_class_weights,
 )
 from .occ_head import OccHead

@@ -13,7 +13,6 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.frustum import (
     GridConfig,

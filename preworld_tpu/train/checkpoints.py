@@ -9,9 +9,8 @@ the TrainState so a single checkpoint carries both.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

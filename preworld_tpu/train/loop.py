@@ -12,10 +12,9 @@ import json
 import logging
 import os
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from .checkpoints import latest_step, restore_checkpoint, save_checkpoint
 

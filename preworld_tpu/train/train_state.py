@@ -15,7 +15,7 @@ is implicit in SPMD sharding.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import flax
 import jax

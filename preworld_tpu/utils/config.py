@@ -17,7 +17,7 @@ import ast
 import copy
 import os
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 
 class Config:

@@ -22,7 +22,7 @@ output norms `norm{i}` -> `out_norm{i}`. PatchMerging channel order matches
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
