@@ -293,3 +293,35 @@ class TestBevPoolPallas:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPlaneSweepKernel:
+    """Experimental Pallas cost-volume kernel vs the XLA path (interpret)."""
+
+    def test_matches_xla_on_smooth_warp(self):
+        from preworld_tpu.models.depthnet import stereo_cost_volume
+        from preworld_tpu.ops.cost_volume_pallas import plane_sweep_cost
+        import flax.linen as nn
+
+        rng = np.random.default_rng(0)
+        BN, H, W, C, D = 2, 16, 128, 128, 4
+        prev = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        gx = np.zeros((BN, D, H, W), np.float32)
+        gy = np.zeros((BN, D, H, W), np.float32)
+        for d in range(D):
+            shift = 3.0 * (d + 1) / D
+            gx[:, d] = (xs + shift + rng.normal(0, 0.3, (H, W))) / (W - 1) * 2 - 1
+            gy[:, d] = (ys + 0.5 * shift + rng.normal(0, 0.3, (H, W))) / (H - 1) * 2 - 1
+        gx[:, :, :2, :4] = -1.5  # out-of-image samples
+        grid = jnp.asarray(np.stack([gx, gy], -1).reshape(BN, D * H, W, 2))
+
+        ours = nn.softmax(
+            -plane_sweep_cost(prev, curr, grid, bias=5.0, interpret=True),
+            axis=1,
+        )
+        ref = stereo_cost_volume(prev, curr, grid, bias=5.0, depth_chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=1e-4
+        )
