@@ -29,6 +29,10 @@ numC_Trans = 32
 model = dict(
     type="PreWorld",
     backbone="swin",
+    # TPU execution policy: bf16 compute in the backbone/encoder (heads stay
+    # f32) + segment rematerialization so the train step fits 16 GB HBM
+    dtype="bfloat16",
+    remat=True,
     swin=dict(
         embed_dims=128,
         depths=(2, 2, 18, 2),

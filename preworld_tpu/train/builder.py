@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax.numpy as jnp
+
 from ..geometry.frustum import GridConfig
 from ..models.nerf_head import NerfHeadConfig
 from ..models.preworld import PreWorld, PreWorldConfig
@@ -78,6 +80,10 @@ def build_model(cfg) -> PreWorld:
         weight_voxel_lovasz=float(m.get("weight_voxel_lovasz", 1.0)),
         use_focal_loss=bool(m.get("use_focal_loss", True)),
         nerf=build_nerf_config(nerf_cfg, world_len),
+        remat=bool(m.get("remat", False)),
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            m.get("dtype", "float32")
+        ],
     )
     mtype = m.get("type", "PreWorld")
     if mtype == "PreWorld4DTraj":
