@@ -45,7 +45,9 @@ def flatten_ego_state(ad_entry: Dict) -> np.ndarray:
             out += list(ele)
         else:
             out.append(ele)
-    return np.asarray(out, np.float32).reshape(-1)
+    return np.concatenate(
+        [np.ravel(np.asarray(e, np.float32)) for e in out]
+    ).astype(np.float32)
 
 
 class NuScenesOccTrajDataset(NuScenesOccDataset):

@@ -239,3 +239,60 @@ class TestTrajDataset:
         )
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
+
+
+class TestTrajExtraPkls:
+    """AD-MLP ego-state + OccWorld trajectory pkl consumption."""
+
+    def test_flatten_ego_state_format(self):
+        from preworld_tpu.data.nuscenes_traj import flatten_ego_state
+
+        # AD-MLP per-token dict: sorted keys, 'gt' skipped, nested lists
+        # flattened (`nuscenes_dataset_occ_trajectory.py:460-475`)
+        entry = {
+            "b_accel": [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]],  # depth-2 -> extend
+            "a_vel": [1.0, 2.0, 3.0],  # depth-1 -> append as element blocks
+            "gt": [9.9, 9.9],  # skipped
+            "c_cmd": 1.0,
+        }
+        out = flatten_ego_state(entry)
+        # keys sorted: a_vel, b_accel, c_cmd
+        np.testing.assert_allclose(
+            out, [1.0, 2.0, 3.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 1.0]
+        )
+
+    def test_traj_dataset_with_pkls(self, fake_nuscenes, tmp_path):
+        root, ann = fake_nuscenes
+        # build AD-MLP + OccWorld pkls covering the fixture's tokens
+        with open(ann, "rb") as f:
+            infos = pickle.load(f)["infos"]
+        ad_info = {
+            i["token"]: {"vel": list(np.arange(21, dtype=float))}
+            for i in infos
+        }
+        traj_info = {"infos": {}}
+        for i in infos:
+            traj_info["infos"].setdefault(i["scene_name"], {})[
+                i["frame_idx"]
+            ] = {"gt_ego_fut_trajs": np.ones((6, 2), np.float32) * 0.5}
+        ego_p = tmp_path / "ad.pkl"
+        traj_p = tmp_path / "occworld.pkl"
+        with open(ego_p, "wb") as f:
+            pickle.dump(ad_info, f)
+        with open(traj_p, "wb") as f:
+            pickle.dump(traj_info, f)
+
+        ds = NuScenesOccTrajDataset(
+            ann_file=ann,
+            data_config=DATA_CONFIG,
+            grid_config=GRID_CONFIG,
+            is_train=True,
+            min_future_frames=6,
+            occworld_offset=2,
+            num_future=3,
+            ego_gt_path=str(ego_p),
+            traj_gt_path=str(traj_p),
+        )
+        s = ds[0]
+        np.testing.assert_allclose(s["ego_states"], np.arange(21, dtype=float))
+        np.testing.assert_allclose(s["temporal_trajs"], 0.5)
