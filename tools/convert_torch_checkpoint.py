@@ -25,7 +25,6 @@ def main():
                    help="print per-module port coverage")
     args = p.parse_args()
 
-    import numpy as np
     import torch
 
     from preworld_tpu.utils.torch_port import convert_full_model

@@ -50,7 +50,6 @@ def main():
             synthetic_batch(model.cfg, 1, num_rays=512, seed=i) for i in range(n)
         ]
     else:
-        from preworld_tpu.data.loader import DataLoader
         from preworld_tpu.data.nuscenes import NuScenesOccDataset
 
         data_cfg = cfg.get("data", {})
