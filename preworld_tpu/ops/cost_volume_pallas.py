@@ -6,7 +6,9 @@ gather path) but 461 ms bf16 (parity with the patch-gather XLA path), so
 the XLA path stays the default. The kernel trades gather descriptors for a
 dense one-hot contraction (~40 TFLOP of inflated matmul); beating the
 gather path needs either per-step DMA double-buffering + narrower windows
-or exploiting the 2-nonzero structure of the interpolation rows. Numerics:
+or exploiting the 2-nonzero structure of the interpolation rows. (Note:
+narrower W tiles are not an option — Pallas requires lane-divisible block
+widths, and W-major retiling shifts the cost into the VPU stage.) Numerics:
 exact on in-window samples; ~2.7% of border/epipole samples fall outside
 the static window and render as zeros+bias (validated against the XLA
 oracle at realistic stereo geometry).
