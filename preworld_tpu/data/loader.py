@@ -5,6 +5,13 @@ The reference uses torch DataLoader with 2 worker processes per GPU
 (PIL/numpy release the GIL for the heavy parts) and a bounded queue
 prefetches collated numpy batches; `preworld_tpu.parallel.shard_batch` then
 device-puts them onto the mesh.
+
+Multi-host: `process_index`/`process_count` shard every GLOBAL batch by
+rank-striding its indices (the DistributedSampler analog, reference
+`apis/train.py:207-219`) — each host loads batch_size/process_count samples
+and `shard_batch` assembles the global sharded array from the per-process
+shards. All processes draw the same seeded permutation, so the global batch
+composition is identical to a single-process run.
 """
 
 from __future__ import annotations
@@ -34,7 +41,13 @@ class DataLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        assert 0 <= process_index < process_count
+        # a trailing partial batch would stride unevenly across hosts
+        assert process_count == 1 or drop_last, "multi-host requires drop_last"
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,7 +55,13 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -65,7 +84,7 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
         batches = [
-            idx[i : i + self.batch_size]
+            idx[i : i + self.batch_size][self.process_index :: self.process_count]
             for i in range(0, len(idx), self.batch_size)
         ]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -85,6 +85,7 @@ class NuScenesOccDataset:
         max_ray_nums: int = 38400,
         depth_gt_path: Optional[str] = None,
         semantic_gt_path: Optional[str] = None,
+        ray_cache_path: Optional[str] = None,
         data_root: str = "",
         load_point_depth: bool = True,
         seed: int = 0,
@@ -108,6 +109,7 @@ class NuScenesOccDataset:
         self.max_ray_nums = max_ray_nums
         self.depth_gt_path = depth_gt_path
         self.semantic_gt_path = semantic_gt_path
+        self.ray_cache_path = ray_cache_path
         self.data_root = data_root
         self.load_point_depth = load_point_depth
         self.balance_weight = wrs_dataset_balance_weight()
@@ -257,7 +259,13 @@ class NuScenesOccDataset:
 
     # ------------------------------------------------------------------
     def _rays(self, index: int, rng) -> np.ndarray:
-        """7-frame x 6-cam ray supervision (`nuscenes_dataset_occ.py:197-270`)."""
+        """7-frame x 6-cam ray supervision (`nuscenes_dataset_occ.py:197-270`).
+
+        With `ray_cache_path` (tools/precompute_rays.py output), per-image
+        records are loaded from the offline cache and only the key-ego rigid
+        transform + WRS run here (SURVEY §7 hard-part 5)."""
+        if self.ray_cache_path:
+            return self._rays_cached(index, rng)
         info = self.infos[index]
         coors, depths, segs, rgbs, c2ws, Ks, time_ids = [], [], [], [], [], [], []
         s2es, e2gs = [], []
@@ -306,6 +314,48 @@ class NuScenesOccDataset:
             balance_weight=self.balance_weight,
             rng=rng,
         )
+
+    # ------------------------------------------------------------------
+    def _rays_cached(self, index: int, rng) -> np.ndarray:
+        from ..geometry.rays import (
+            cache_to_records,
+            ray_weights,
+            weighted_ray_sample,
+        )
+
+        info = self.infos[index]
+        cams = list(info["cams"])
+        # per-cam key ego pose (`nuscenes_dataset_occ.py:248-259`)
+        key_inv = {
+            cam: np.linalg.inv(self._cam_pose(info, cam)[1]) for cam in cams
+        }
+        rays_list, w_list = [], []
+        for time_id in [0] + self.aux_frames:
+            sel = index + time_id
+            if (
+                sel < 0 or sel >= len(self.infos)
+                or self.infos[sel]["scene_token"] != info["scene_token"]
+            ):
+                sel = index
+            fr = self.infos[sel]
+            for cam in fr["cams"]:
+                name = os.path.basename(fr["cams"][cam]["data_path"])
+                cached = np.load(
+                    os.path.join(self.ray_cache_path, name + ".npz")
+                )["rays"]
+                rec = cache_to_records(cached, key_inv[cam])
+                rays_list.append(rec)
+                w_list.append(
+                    ray_weights(
+                        rec[:, 3], time_id, self.balance_weight,
+                        DYNAMIC_CLASSES,
+                    )
+                )
+        rays = np.concatenate(rays_list, axis=0)
+        weights = np.concatenate(w_list, axis=0)
+        return weighted_ray_sample(
+            rays, weights, self.max_ray_nums, rng
+        ).astype(np.float32)
 
     # ------------------------------------------------------------------
     def evaluate(self, occ_preds: Sequence[np.ndarray]) -> Dict:

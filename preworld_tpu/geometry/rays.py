@@ -76,7 +76,30 @@ def class_balance_weights(seg_labels: np.ndarray, num_classes: int = 17) -> np.n
         [(seg_labels == c).sum() for c in range(num_classes)], np.float64
     )
     counts = np.maximum(counts, 1e-12)
-    return np.exp(0.005 * (counts.max() / counts - 1.0)).astype(np.float32)
+    # Clamp the exponent: the reference only ever evaluates this on
+    # dataset-level counts, but the per-batch fallback can see near-empty
+    # classes where max/n blows exp() to inf and degenerates WRS.
+    expo = np.minimum(0.005 * (counts.max() / counts - 1.0), 60.0)
+    return np.exp(expo).astype(np.float32)
+
+
+def ray_weights(
+    seg: np.ndarray,
+    time_id: int,
+    balance_weight: np.ndarray,
+    dynamic_classes: Sequence[int] = (0, 1, 3, 4, 5, 7, 9, 10),
+    weight_adj: float = 0.3,
+    weight_dyn: float = 0.0,
+) -> np.ndarray:
+    """Per-ray WRS weight for one (frame, cam) image (`ray.py:94-111`):
+    class-balance x temporal (1.0 key frame / weight_adj aux, weight_dyn for
+    dynamic-class pixels in aux frames)."""
+    seg = seg.astype(np.int64)
+    w_t = np.full(seg.shape[0], 1.0 if time_id == 0 else weight_adj, np.float32)
+    if time_id != 0:
+        w_t[np.isin(seg, np.asarray(dynamic_classes))] = weight_dyn
+    w_b = balance_weight[np.clip(seg, 0, len(balance_weight) - 1)]
+    return w_b * w_t
 
 
 def weighted_ray_sample(
@@ -156,12 +179,12 @@ def build_rays(
         )
         ray_list.append(ray)
         if use_wrs:
-            seg = ray[:, 3].astype(np.int64)
-            w_t = np.full(ray.shape[0], 1.0 if time_ids[i] == 0 else weight_adj)
-            if time_ids[i] != 0:
-                w_t[np.isin(seg, dyn)] = weight_dyn
-            w_b = balance_weight[np.clip(seg, 0, len(balance_weight) - 1)]
-            weight_list.append(w_b * w_t)
+            weight_list.append(
+                ray_weights(
+                    ray[:, 3], time_ids[i], balance_weight,
+                    dyn, weight_adj, weight_dyn,
+                )
+            )
 
     rays = np.concatenate(ray_list, axis=0)
     if not use_wrs:
@@ -179,6 +202,52 @@ def _pad_rays(rays: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
         return rays[:n].astype(np.float32)
     extra = rng.integers(0, rays.shape[0], size=n - rays.shape[0])
     return np.concatenate([rays, rays[extra]], axis=0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Offline ray cache (SURVEY §7 hard-part 5): the reference rebuilds every ray
+# record per __getitem__ from 84 files (7 frames x 6 cams x depth/seg .bins +
+# full-res JPEG decodes, `nuscenes_dataset_occ.py:197-270`). We precompute
+# per-IMAGE records once, in the GLOBAL frame so they are key-frame-agnostic
+# (adjacent samples share aux-frame images); per sample only a rigid
+# transform into the key ego frame + WRS remain.
+
+RAY_CACHE_DIM = 13  # [u, v, depth, seg, o_global(3), d_global(3), rgb(3)]
+
+
+def build_image_ray_cache(
+    coor: np.ndarray,
+    depth: np.ndarray,
+    seg: np.ndarray,
+    rgb: np.ndarray,
+    intrinsic: np.ndarray,
+    c2w_global: np.ndarray,
+) -> np.ndarray:
+    """Key-agnostic per-image records, (M, RAY_CACHE_DIM) float32."""
+    rays_o, rays_d, _ = get_rays(
+        coor[:, 0] + 0.5, coor[:, 1] + 0.5, intrinsic, c2w_global
+    )
+    return np.concatenate(
+        [
+            coor.astype(np.float32),
+            np.asarray(depth, np.float32)[:, None],
+            np.asarray(seg, np.float32)[:, None],
+            rays_o, rays_d,
+            np.asarray(rgb, np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def cache_to_records(cached: np.ndarray, key_inv: np.ndarray) -> np.ndarray:
+    """(M, 13) global-frame cache + inv(key ego pose) -> (M, 16) ray record
+    in the key ego frame (same layout as `pts2ray`)."""
+    o = cached[:, 4:7] @ key_inv[:3, :3].T + key_inv[:3, 3]
+    d = cached[:, 7:10] @ key_inv[:3, :3].T
+    view = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return np.concatenate(
+        [cached[:, :4], o, d, view, cached[:, 10:13]], axis=1
+    ).astype(np.float32)
 
 
 RAY_DENSE_DIM = 14

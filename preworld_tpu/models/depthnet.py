@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.field_sample import build_corner_table_2d, sample_corner_table_2d
 from ..ops.grid_sample import grid_sample_2d
 from .layers import BasicBlock, ConvNormAct, Mlp, SELayer
 
@@ -140,6 +141,39 @@ def stereo_cost_volume(
     return nn.softmax(-cost, axis=1)
 
 
+def stereo_cost_volume_expanded(
+    prev_feat: jnp.ndarray,
+    curr_feat: jnp.ndarray,
+    grid: jnp.ndarray,
+    bias: float,
+    depth_chunk: int = 8,
+) -> jnp.ndarray:
+    """`stereo_cost_volume` with the warp's bilinear gather done through a
+    corner-expanded table (ops/field_sample.py): one contiguous 4C-row per
+    sample instead of a strided (2,2,C) patch. Same math, same output.
+    """
+    BN, H, W, C = curr_feat.shape
+    D = grid.shape[1] // H
+    assert D % depth_chunk == 0, (D, depth_chunk)
+    tables = jax.vmap(build_corner_table_2d)(prev_feat)
+
+    def per_cam(table, gcam, curr):
+        def one_chunk(gc):  # (chunk, H, W, 2)
+            x = (gc[..., 0].reshape(-1) + 1.0) * 0.5 * (W - 1)
+            y = (gc[..., 1].reshape(-1) + 1.0) * 0.5 * (H - 1)
+            warped = sample_corner_table_2d(table, (H, W), x, y)
+            warped = warped.reshape(depth_chunk, H, W, C)
+            diff = jnp.abs(curr[None] - warped).sum(-1)
+            invalid = warped[..., 0] == 0.0
+            return diff + invalid.astype(diff.dtype) * bias
+
+        gc = gcam.reshape(D // depth_chunk, depth_chunk, H, W, 2)
+        return jax.lax.map(one_chunk, gc).reshape(D, H, W)
+
+    cost = jax.vmap(per_cam)(tables, grid.reshape(BN, D, H, W, 2), curr_feat)
+    return nn.softmax(-cost, axis=1)
+
+
 class DepthNet(nn.Module):
     """27-dim camera-conditioned depth + context head (`view_transformer.py:471-638`).
 
@@ -164,8 +198,8 @@ class DepthNet(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         mlp_input = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype,
-            name="mlp_bn",
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="mlp_bn",
         )(mlp_input.reshape(-1, mlp_input.shape[-1]))
         x = ConvNormAct(
             self.mid_channels, 3, use_bias=True, dtype=self.dtype,

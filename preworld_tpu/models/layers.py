@@ -54,11 +54,16 @@ class ConvNormAct(nn.Module):
             if isinstance(self.dilation, (tuple, list))
             else (self.dilation,) * ndim
         )
-        pad = (
-            self.padding
-            if isinstance(self.padding, str)
-            else [(self.padding, self.padding)] * ndim
-        )
+        if isinstance(self.padding, str):
+            # torch Conv pads symmetrically by dilation*(k-1)//2; XLA 'SAME'
+            # only matches that for stride 1 (it right-pads under stride>1),
+            # so spell the torch padding out explicitly.
+            pad = [
+                (dl[i] * (ks[i] - 1) // 2, dl[i] * (ks[i] - 1) // 2)
+                for i in range(ndim)
+            ]
+        else:
+            pad = [(self.padding, self.padding)] * ndim
         x = nn.Conv(
             self.features,
             ks,
@@ -76,7 +81,7 @@ class ConvNormAct(nn.Module):
                 dtype=self.dtype,
             )(x)
         elif self.norm == "gn":
-            x = nn.GroupNorm(num_groups=self.gn_groups, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=self.gn_groups, epsilon=1e-5, dtype=self.dtype)(x)
         if self.act is not None:
             x = self.act(x)
         return x

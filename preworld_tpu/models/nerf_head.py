@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.field_sample import build_corner_table, sample_corner_table
 from ..ops.grid_sample import grid_sample_3d
 from ..ops.render import (
     RaySamplingSpec,
@@ -84,7 +85,9 @@ def _sample_field(field_xyzc: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray
     """Trilinear sample of an (X, Y, Z, C) field at normalized [-1,1] coords.
 
     Matches the reference's grid_sample call with `.flip(-1)` coords
-    (`nerf_head.py:209-225`, align_corners=True).
+    (`nerf_head.py:209-225`, align_corners=True). Kept as the readable
+    oracle for the corner-table fast path (ops/field_sample.py) — see
+    tests/test_ops.py::TestFieldSample.
     """
     X, Y, Z, C = field_xyzc.shape
     inp = field_xyzc.transpose(3, 0, 1, 2)[None]  # (1, C, X, Y, Z)
@@ -114,13 +117,21 @@ def render_scene(
         chunk = R
     n_chunks = R // chunk
 
+    # sample the three fields with ONE fused gather (21 channels), via the
+    # corner-expanded table: one descriptor + one contiguous row per
+    # (ray, sample) — see ops/field_sample.py. Built ONCE per scene, shared
+    # by (and recomputed gathers notwithstanding) all remat'd ray chunks.
+    fused = jnp.concatenate([density[..., None], semantic, color], axis=-1)
+    table = build_corner_table(fused)
+    dims = fused.shape[:3]
+
     @jax.checkpoint
     def one_chunk(args):
         ro, rd = args
-        return _render_rays(density, semantic, color, ro, rd, bda, cfg)
+        return _render_rays(table, dims, ro, rd, bda, cfg)
 
     if n_chunks == 1:
-        return _render_rays(density, semantic, color, rays_o, rays_d, bda, cfg)
+        return _render_rays(table, dims, rays_o, rays_d, bda, cfg)
     out = jax.lax.map(
         one_chunk,
         (
@@ -131,7 +142,7 @@ def render_scene(
     return {k: v.reshape(R, *v.shape[2:]) for k, v in out.items()}
 
 
-def _render_rays(density, semantic, color, rays_o, rays_d, bda, cfg):
+def _render_rays(table, dims, rays_o, rays_d, bda, cfg):
     spec = cfg.spec
     pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
     keep = cumdist_mask(pts, inner, spec)
@@ -140,13 +151,8 @@ def _render_rays(density, semantic, color, rays_o, rays_d, bda, cfg):
     hi = jnp.asarray(spec.xyz_max)
     pts_norm = (pts - lo) / (hi - lo) * 2.0 - 1.0
 
-    # sample the three fields with ONE fused gather (21 channels): TPU
-    # gathers are descriptor-bound, so a single 21-channel trilinear sample
-    # is ~3x cheaper than density/semantic/color separately (and rows of
-    # 84 B instead of 4 B for the scalar density field)
-    fused = jnp.concatenate([density[..., None], semantic, color], axis=-1)
-    sampled = _sample_field(fused, pts_norm)  # (R, S, 21)
-    nsem = semantic.shape[-1]
+    sampled = sample_corner_table(table, dims, pts_norm)  # (R, S, 21)
+    nsem = table.shape[-1] // 8 - 4
     dens = sampled[..., 0]
     sem = sampled[..., 1 : 1 + nsem]
     col = sampled[..., 1 + nsem :]

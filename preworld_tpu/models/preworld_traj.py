@@ -131,6 +131,29 @@ class PreWorld4DTraj(PreWorld):
         )
         return out
 
+    def _future_step_losses(
+        self, voxel_feats, ego_states, tgt, traj_gt, rays, bda, train
+    ):
+        """One rollout step + its losses, un-suffixed. Factored out so the
+        whole step can be rematerialized: the unrolled flagship rollout
+        otherwise keeps each step's fused voxel grid, occ logits and loss
+        workspaces live for backward and exhausts HBM."""
+        c = self.cfg
+        voxel_feats, pred_traj = self.rollout_step(voxel_feats, ego_states)
+        terms: Dict[str, jnp.ndarray] = {}
+        if c.if_post_finetune:
+            occ_logits = self.occupancy_logits(voxel_feats, train=train)
+            terms.update(self._voxel_losses(occ_logits, tgt, ""))
+        if c.if_render:
+            density, semantic, color = self.predict_attributes(voxel_feats)
+            terms.update(
+                nerf_head_losses(
+                    density, semantic, color, rays, bda, c.nerf, suffix="",
+                )
+            )
+        terms["loss_traj"] = l2_traj_loss(pred_traj, traj_gt)
+        return voxel_feats, terms
+
     def loss(self, batch, train: bool = True, num_future: int = 2):
         """Rollout training losses (`forward_train`, `:372-530`)."""
         c = self.cfg
@@ -158,29 +181,26 @@ class PreWorld4DTraj(PreWorld):
                 )
             )
 
+        step_fn = (
+            nn.remat(PreWorld4DTraj._future_step_losses, static_argnums=(7,))
+            if c.remat else PreWorld4DTraj._future_step_losses
+        )
         ego_states = batch["ego_states"]
         for step in range(num_future):
             future = step + 1
-            voxel_feats, pred_traj = self.rollout_step(voxel_feats, ego_states)
-            sfx = f"_{future}s"
-            if c.if_post_finetune:
-                occ_logits = self.occupancy_logits(voxel_feats, train=train)
-                tgt = batch["temporal_semantics"][:, future - 1].astype(
-                    jnp.int32
-                )
-                losses.update(self._voxel_losses(occ_logits, tgt, sfx))
-            if c.if_render:
-                density, semantic, color = self.predict_attributes(voxel_feats)
-                losses.update(
-                    nerf_head_losses(
-                        density, semantic, color,
-                        batch["temporal_rays"][:, future - 1], batch["bda"],
-                        c.nerf, suffix=sfx,
-                    )
-                )
-            losses["loss_traj" + sfx] = l2_traj_loss(
-                pred_traj, batch["temporal_trajs"][:, future - 1]
+            tgt = (
+                batch["temporal_semantics"][:, future - 1].astype(jnp.int32)
+                if c.if_post_finetune else None
             )
+            rays = (
+                batch["temporal_rays"][:, future - 1] if c.if_render else None
+            )
+            voxel_feats, terms = step_fn(
+                self, voxel_feats, ego_states, tgt,
+                batch["temporal_trajs"][:, future - 1], rays, batch["bda"],
+                train,
+            )
+            losses.update({k + f"_{future}s": v for k, v in terms.items()})
         return losses
 
     # ------------------------------------------------------------------

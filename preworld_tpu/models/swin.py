@@ -122,7 +122,7 @@ class SwinBlock(nn.Module):
         shift = ws // 2 if (self.shift and ws < min(H, W)) else 0
 
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = y.reshape(B, H, W, C)
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
@@ -143,7 +143,7 @@ class SwinBlock(nn.Module):
         y = y[:, :H, :W].reshape(B, L, C)
         x = shortcut + _drop_path(y, self.drop_path, train, self, "dp1")
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
@@ -177,7 +177,7 @@ class PatchMerging(nn.Module):
         H2, W2 = (H + pad_b) // 2, (W + pad_r) // 2
         x = x.reshape(B, H2, 2, W2, 2, C)
         x = x.transpose(0, 1, 3, 5, 2, 4).reshape(B, H2 * W2, C * 4)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
         return x, (H2, W2)
@@ -218,7 +218,7 @@ class SwinTransformer(nn.Module):
         H, W = x.shape[1], x.shape[2]
         x = x.reshape(B, H * W, self.embed_dims)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         total_depth = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_depth)
@@ -250,6 +250,6 @@ class SwinTransformer(nn.Module):
                 if stage0_only:
                     return tuple(outs)
             if i in self.out_indices:
-                normed = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{i}")(out)
+                normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(out)
                 outs.append(normed.reshape(B, *out_hw, normed.shape[-1]))
         return tuple(outs)

@@ -55,6 +55,17 @@ def batch_shardings(mesh: Mesh, batch: Dict) -> Dict:
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """Device-put a host batch onto the mesh with the standard shardings."""
+    """Place a host batch onto the mesh with the standard shardings.
+
+    Single-process: a plain device_put. Multi-host: each process holds only
+    its rank's slice of the global batch (see `data.loader.DataLoader`
+    process striding); `make_array_from_process_local_data` assembles the
+    global sharded arrays — the jax analog of the reference's
+    DistributedSampler feeding DDP (`apis/train.py:207-230`)."""
     sh = batch_shardings(mesh, batch)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh[k], np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}

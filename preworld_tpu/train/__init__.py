@@ -2,6 +2,7 @@ from .train_state import (
     TrainState,
     create_train_state,
     make_train_step,
+    eval_params,
     make_optimizer,
     ema_decay_schedule,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "eval_params",
     "make_optimizer",
     "ema_decay_schedule",
 ]

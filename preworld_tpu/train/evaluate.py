@@ -1,0 +1,125 @@
+"""Batched, sharded occupancy evaluation.
+
+Replaces the reference's distributed test loop + rank gather
+(`mmdet3d/apis/test.py:63-195`): predictions run batched under jit with the
+batch dim sharded over the mesh's 'data' axis (the eval analog of DDP's
+sharded dataloader), and per-horizon confusion hists are summed across
+hosts at the end (the `collect_results_*` analog — hists are tiny, so the
+gather is one psum of a (C, C) array instead of pickled prediction dumps).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..metrics import MetricMIoU
+from ..parallel import shard_batch
+from .train_state import eval_params
+
+logger = logging.getLogger("preworld_tpu")
+
+INFER_KEYS = (
+    "imgs", "sensor2egos", "ego2globals", "intrins",
+    "post_rots", "post_trans", "bda", "ego_states",
+)
+
+
+def _batched(samples: Iterable[Dict[str, np.ndarray]], batch_size: int):
+    """Yield (collated_batch, n_valid) with the final batch padded by
+    repeating its last sample — keeps jit shapes static."""
+    chunk = []
+    for s in samples:
+        chunk.append(s)
+        if len(chunk) == batch_size:
+            yield _collate(chunk), batch_size
+            chunk = []
+    if chunk:
+        n = len(chunk)
+        chunk = chunk + [chunk[-1]] * (batch_size - n)
+        yield _collate(chunk), n
+
+
+def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {
+        k: np.stack([s[k] for s in samples], axis=0) for k in samples[0]
+    }
+
+
+def all_hosts_sum(hist: np.ndarray) -> np.ndarray:
+    """Sum a host-local array across processes (multi-host eval gather)."""
+    if jax.process_count() == 1:
+        return hist
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(hist)
+    ).sum(axis=0)
+
+
+def _local_rows(arr) -> np.ndarray:
+    """Batch rows of a (possibly multi-host) global array owned by this
+    process, in batch order."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def evaluate_miou(
+    model,
+    state,
+    samples: Iterable[Dict[str, np.ndarray]],
+    mesh,
+    num_classes: int = 18,
+    use_image_mask: bool = True,
+    batch_size: Optional[int] = None,
+    predict_fn: Optional[Callable] = None,
+    dump_fn: Optional[Callable[[int, np.ndarray], None]] = None,
+) -> Dict:
+    """Run 3-D occ mIoU over `samples` (dicts of per-sample arrays).
+
+    `samples` are THIS PROCESS's samples (rank-strided upstream on
+    multi-host, like the training loader); `batch_size` is the per-process
+    batch and defaults to one sample per local data-axis device. Samples
+    must carry `voxel_semantics` (+ optional masks) for scoring; inference
+    uses only INFER_KEYS.
+    """
+    batch_size = batch_size or max(
+        1, mesh.shape["data"] // jax.process_count()
+    )
+    params = eval_params(state)
+
+    if predict_fn is None:
+        @jax.jit
+        def predict_fn(params, batch_stats, b):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, b, train=False
+            )
+
+    metric = MetricMIoU(num_classes=num_classes, use_image_mask=use_image_mask)
+    seen = 0
+    for batch, n_valid in _batched(samples, batch_size):
+        infer = shard_batch(
+            mesh, {k: v for k, v in batch.items() if k in INFER_KEYS}
+        )
+        out = predict_fn(params, state.batch_stats, infer)
+        occ = _local_rows(out["semantic_occ"])
+        for j in range(n_valid):
+            if dump_fn is not None:
+                dump_fn(seen + j, occ[j])
+            if "voxel_semantics" in batch:
+                metric.add_batch(
+                    occ[j],
+                    batch["voxel_semantics"][j],
+                    batch.get("mask_lidar", [None] * batch_size)[j],
+                    batch.get("mask_camera", [None] * batch_size)[j],
+                )
+        seen += n_valid
+    metric.hist = all_hosts_sum(metric.hist)
+    return metric.count_miou()

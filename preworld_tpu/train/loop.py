@@ -116,9 +116,25 @@ def train_epochs(
     return state
 
 
-def maybe_resume(state, work_dir: str):
-    """Auto-resume from the latest checkpoint in work_dir (reference
-    `--auto-resume`, `utils/patch.py:56-72`). Returns (state, resumed)."""
+def maybe_resume(state, work_dir: str, resume_from: Optional[str] = None):
+    """Resume training state from a checkpoint. Returns (state, resumed).
+
+    With `resume_from` set, honors the explicit path (reference
+    `--resume-from`, `tools/train.py:148-156` + `utils/patch.py:56-99`) —
+    accepts either a work_dir (containing `checkpoints/`) or a checkpoint
+    directory itself; raises if nothing restorable is found there (an
+    explicit path silently falling back would break the pretrain->finetune
+    handoff). Otherwise auto-resumes from the latest checkpoint in
+    `work_dir` (`--auto-resume`, `utils/patch.py:56-72`)."""
+    if resume_from:
+        for cand in (os.path.join(resume_from, "checkpoints"), resume_from):
+            step = latest_step(cand)
+            if step is not None:
+                return restore_checkpoint(cand, state, step), True
+        raise FileNotFoundError(
+            f"--resume-from {resume_from}: no orbax checkpoint found "
+            "(looked in ./checkpoints and the path itself)"
+        )
     ckpt_dir = os.path.join(work_dir, "checkpoints")
     step = latest_step(ckpt_dir)
     if step is None:

@@ -102,9 +102,21 @@ def create_train_state(
     )
 
 
-def make_train_step(model, tx: optax.GradientTransformation, **apply_kwargs):
+def eval_params(state: TrainState):
+    """Parameters to evaluate with: EMA once training has stepped, raw
+    params otherwise. A fresh init (or a ported warm start that never
+    trained) has `ema_params` equal to the init copy — evaluating it with a
+    nonzero-looking `ema_updates` (init_updates ramps the decay, reference
+    `ema.py:63-71`) would silently score near-init weights."""
+    return state.ema_params if int(state.step) > 0 else state.params
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    ema_decay: float = 0.999, **apply_kwargs):
     """Pure (state, batch, rng) -> (state, metrics) suitable for jit/pjit.
 
+    ema_decay: the MEGVII EMA momentum ceiling (config key `ema.decay`,
+    reference `ema.py:31-41` resume value 0.999).
     apply_kwargs are forwarded statically to model.apply — e.g.
     `num_future=` for the forecasting rollout curriculum (a new step function
     per curriculum stage -> at most a handful of compiles per run).
@@ -129,7 +141,7 @@ def make_train_step(model, tx: optax.GradientTransformation, **apply_kwargs):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        d = ema_decay_schedule(state.ema_updates + 1)
+        d = ema_decay_schedule(state.ema_updates + 1, decay=ema_decay)
         new_ema = jax.tree_util.tree_map(
             lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params
         )

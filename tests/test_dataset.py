@@ -241,6 +241,95 @@ class TestTrajDataset:
             assert np.isfinite(float(v)), k
 
 
+class TestRayCache:
+    def test_precompute_matches_direct_path(self, fake_nuscenes, tmp_path):
+        """tools/precompute_rays.py cache + the dataset's ray_cache_path fast
+        path reproduce the direct 84-file per-sample ray build (same WRS
+        draw -> same rays within float tolerance)."""
+        import subprocess
+        import sys as _sys
+
+        root, ann = fake_nuscenes
+        cache = tmp_path / "ray_cache"
+        tool = os.path.join(
+            os.path.dirname(__file__), "..", "tools", "precompute_rays.py"
+        )
+        subprocess.run(
+            [_sys.executable, tool, ann,
+             "--depth-gt-path", str(root / "depth_gt"),
+             "--semantic-gt-path", str(root / "seg_gt"),
+             "--out-dir", str(cache)],
+            check=True,
+        )
+        assert len(list(cache.glob("*.npz"))) == 40  # 20 frames x 2 cams
+
+        kw = dict(
+            ann_file=ann, data_config=DATA_CONFIG, grid_config=GRID_CONFIG,
+            is_train=True, use_rays=True, aux_frames=[-1, 1],
+            max_ray_nums=96,
+            depth_gt_path=str(root / "depth_gt"),
+            semantic_gt_path=str(root / "seg_gt"),
+        )
+        direct = NuScenesOccDataset(**kw)
+        cached = NuScenesOccDataset(ray_cache_path=str(cache), **kw)
+        rng_a = np.random.default_rng(11)
+        rng_b = np.random.default_rng(11)
+        r_direct = direct._rays(5, rng_a)
+        r_cached = cached._rays(5, rng_b)
+        assert r_direct.shape == r_cached.shape == (96, 16)
+        np.testing.assert_allclose(r_cached, r_direct, rtol=1e-4, atol=1e-4)
+
+
+class TestTrajTrainPath:
+    def test_traj_model_consumes_dataset_batch(self, fake_nuscenes):
+        """Full 4D-traj training path: disk -> traj pipeline -> collate ->
+        PreWorld4DTraj rollout loss (the tools/train.py wiring for
+        model.type == 'PreWorld4DTraj'; reference
+        `nuscenes_dataset_occ_trajectory.py:388-476` -> `forward_train`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from preworld_tpu.data import tiny_config
+        from preworld_tpu.geometry.frustum import GridConfig
+        from preworld_tpu.models import PreWorld4DTraj
+        from preworld_tpu.train import create_train_state, make_optimizer
+
+        root, ann = fake_nuscenes
+        ds = NuScenesOccTrajDataset(
+            ann_file=ann, data_config=DATA_CONFIG, grid_config=GRID_CONFIG,
+            is_train=True, use_rays=True, aux_frames=[-1, 1],
+            max_ray_nums=64, min_future_frames=6, occworld_offset=2,
+            num_future=2,
+            depth_gt_path=str(root / "depth_gt"),
+            semantic_gt_path=str(root / "seg_gt"),
+        )
+        batch_np = collate([ds[0], ds[1]])
+        cfg = tiny_config(
+            input_size=DATA_CONFIG["input_size"], num_cams=2,
+            grid=GridConfig(
+                x=tuple(GRID_CONFIG["x"]), y=tuple(GRID_CONFIG["y"]),
+                z=tuple(GRID_CONFIG["z"]), depth=tuple(GRID_CONFIG["depth"]),
+            ),
+            if_pretrain=True, if_render=True, use_lss_depth_loss=True,
+        )
+        model = PreWorld4DTraj(cfg)
+        batch = {
+            k: jnp.asarray(v) for k, v in batch_np.items()
+            if not k.startswith("__")
+        }
+        state = create_train_state(model, batch, make_optimizer(),
+                                   jax.random.PRNGKey(0))
+        losses = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, num_future=2,
+        )
+        # per-horizon render + traj losses present and finite
+        assert "loss_traj_1s" in losses and "loss_traj_2s" in losses
+        assert any(k.endswith("_2s") and "render" in k for k in losses)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
+
 class TestTrajExtraPkls:
     """AD-MLP ego-state + OccWorld trajectory pkl consumption."""
 

@@ -55,6 +55,49 @@ class TestMIoU:
         assert res["mIoU_avg_1_3s"] == 100.0
 
 
+class TestTemporalProtocol:
+    """Golden: the reference 4D eval protocol — rollout steps {0,1,3,5}
+    scored against GT at +{0,2,4,6} frames — through our metric equals a
+    direct transcription of the reference's Metric_mIoU_Temporal math
+    (`occ_metrics.py:460-543`, `apis/test.py:218-223`,
+    `preworld_temporal_traj.py:297`)."""
+
+    def test_reference_protocol_golden(self):
+        rng = np.random.default_rng(3)
+        shape, n_cls = (8, 8, 4), 18
+        # model rollout outputs: step k == semantic_occ_{k}s in our naming
+        steps = {k: rng.integers(0, n_cls, shape) for k in range(7)}
+        gts = {f: rng.integers(0, n_cls, shape) for f in (0, 2, 4, 6)}
+
+        # reference transcription: step k is keyed {k+1}s at inference, the
+        # runner stacks keys {0,2,4,6}s -> rollout steps {0,1,3,5}; GT frame
+        # offset idx scores stack position idx//2 with hist_info/per_class_iu
+        stacked = [steps[0], steps[1], steps[3], steps[5]]
+        ref = {}
+        for f in (0, 2, 4, 6):
+            gt, pred = gts[f].flatten(), stacked[f // 2].flatten()
+            k = (gt >= 0) & (gt < n_cls)
+            h = np.bincount(
+                n_cls * gt[k].astype(int) + pred[k].astype(int),
+                minlength=n_cls**2,
+            ).reshape(n_cls, n_cls)
+            iou = np.diag(h) / (h.sum(1) + h.sum(0) - np.diag(h))
+            ref[f // 2] = round(float(np.nanmean(iou[: n_cls - 1])) * 100, 2)
+
+        # repo path (tools/test_temporal.py --protocol reference)
+        m = MetricMIoUTemporal(num_classes=n_cls)
+        m.add_batch(
+            {h: steps[s] for h, s in zip((0, 1, 2, 3), (0, 1, 3, 5))},
+            {h: gts[f] for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6))},
+        )
+        res = m.count_miou()
+        for h in (0, 1, 2, 3):
+            assert res[f"mIoU_{h}s"] == ref[h]
+        assert res["mIoU_avg_1_3s"] == round(
+            float(np.mean([ref[1], ref[2], ref[3]])), 2
+        )
+
+
 class TestConfig:
     def test_base_inheritance_and_merge(self):
         cfg = Config.fromfile(

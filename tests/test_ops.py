@@ -135,6 +135,59 @@ class TestGridSample:
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+class TestFieldSample:
+    """Corner-expanded table sampling == the general trilinear oracle."""
+
+    def _setup(self, seed=0):
+        rng = np.random.default_rng(seed)
+        field = jnp.asarray(rng.normal(size=(9, 7, 5, 21)).astype(np.float32))
+        # points spanning in-range, partially-out and fully-out
+        pts = jnp.asarray(
+            rng.uniform(-1.6, 1.6, size=(50, 11, 3)).astype(np.float32)
+        )
+        return field, pts
+
+    def test_matches_grid_sample_oracle(self):
+        from preworld_tpu.models.nerf_head import _sample_field
+        from preworld_tpu.ops.field_sample import (
+            build_corner_table,
+            sample_corner_table,
+        )
+
+        field, pts = self._setup()
+        want = _sample_field(field, pts)
+        table = build_corner_table(field)
+        got = sample_corner_table(table, field.shape[:3], pts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_gradients_match_oracle(self):
+        from preworld_tpu.models.nerf_head import _sample_field
+        from preworld_tpu.ops.field_sample import (
+            build_corner_table,
+            sample_corner_table,
+        )
+
+        field, pts = self._setup(1)
+        cot = jnp.asarray(
+            np.random.default_rng(2).normal(size=(50, 11, 21)).astype(np.float32)
+        )
+
+        g_oracle = jax.grad(
+            lambda f: (cot * _sample_field(f, pts)).sum()
+        )(field)
+        g_fast = jax.grad(
+            lambda f: (
+                cot
+                * sample_corner_table(build_corner_table(f), f.shape[:3], pts)
+            ).sum()
+        )(field)
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_oracle), rtol=1e-4, atol=1e-4
+        )
+
+
 class TestRender:
     def test_spec_counts_match_reference(self):
         """With the paper config: bg_len=1/39, world_len=200, step 0.5

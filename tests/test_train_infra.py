@@ -1,0 +1,190 @@
+"""Tests: train-loop infra — resume-from, EMA plumbing, eval-param fallback,
+WRS weight clamping."""
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from preworld_tpu.geometry.rays import class_balance_weights
+from preworld_tpu.train import (
+    create_train_state,
+    eval_params,
+    make_optimizer,
+    make_train_step,
+)
+from preworld_tpu.train.checkpoints import save_checkpoint
+from preworld_tpu.train.loop import maybe_resume
+
+
+class TinyModel(nn.Module):
+    """Minimal loss-dict model compatible with make_train_step."""
+
+    @nn.compact
+    def __call__(self, batch, train=True):
+        y = nn.Dense(4, name="fc")(batch["x"])
+        # touch a batch_stats collection so the state shape matches prod
+        nn.BatchNorm(use_running_average=not train, name="bn")(y)
+        return {"loss": jnp.mean(y**2)}
+
+
+def _tiny_state():
+    model = TinyModel()
+    batch = {"x": jnp.ones((2, 3))}
+    tx = make_optimizer(base_lr=1e-2, warmup_iters=1)
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    return model, batch, tx, state
+
+
+class TestResumeFrom:
+    def test_explicit_path_work_dir_and_ckpt_dir(self, tmp_path):
+        _, _, _, state = _tiny_state()
+        stepped = state.replace(step=state.step + 7)
+        src = tmp_path / "pretrain_run"
+        save_checkpoint(str(src / "checkpoints"), stepped, 7)
+
+        # fresh work_dir with no checkpoints: auto-resume finds nothing...
+        _, resumed = maybe_resume(state, str(tmp_path / "finetune_run"))
+        assert not resumed
+        # ...but an explicit --resume-from restores from the other run,
+        # given either the work_dir or the checkpoints dir itself
+        for path in (str(src), str(src / "checkpoints")):
+            restored, resumed = maybe_resume(
+                state, str(tmp_path / "finetune_run"), resume_from=path
+            )
+            assert resumed and int(restored.step) == 7
+
+    def test_explicit_path_missing_raises(self, tmp_path):
+        _, _, _, state = _tiny_state()
+        with pytest.raises(FileNotFoundError):
+            maybe_resume(state, str(tmp_path), resume_from=str(tmp_path / "x"))
+
+
+class TestEMA:
+    def test_eval_params_fallback(self):
+        model, batch, tx, state = _tiny_state()
+        # fresh state: fall back to raw params
+        assert eval_params(state) is state.params
+        step = jax.jit(make_train_step(model, tx))
+        new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+        assert eval_params(new_state) is new_state.ema_params
+
+    def test_ema_decay_plumb(self):
+        """cfg ema.decay reaches the update: decay=0 tracks params exactly."""
+        model, batch, tx, state = _tiny_state()
+        step0 = jax.jit(make_train_step(model, tx, ema_decay=0.0))
+        s0, _ = step0(state, batch, jax.random.PRNGKey(1))
+        leaves = zip(
+            jax.tree_util.tree_leaves(s0.ema_params),
+            jax.tree_util.tree_leaves(s0.params),
+        )
+        for e, p in leaves:
+            np.testing.assert_allclose(np.asarray(e), np.asarray(p))
+        # default decay with a warm ramp: EMA lags params
+        warm = state.replace(ema_updates=jnp.asarray(10560, jnp.int32))
+        step9 = jax.jit(make_train_step(model, tx, ema_decay=0.999))
+        s9, _ = step9(warm, batch, jax.random.PRNGKey(1))
+        diffs = [
+            float(np.abs(np.asarray(e) - np.asarray(p)).max())
+            for e, p in zip(
+                jax.tree_util.tree_leaves(s9.ema_params),
+                jax.tree_util.tree_leaves(s9.params),
+            )
+        ]
+        assert max(diffs) > 0
+
+
+class TestLoaderProcessSharding:
+    """DistributedSampler analog: per-host strided shards of each global
+    batch are disjoint and together reproduce the single-process batch."""
+
+    class _IdxDataset:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {"i": np.asarray([i])}
+
+    def _batches(self, rank, count):
+        from preworld_tpu.data.loader import DataLoader
+
+        dl = DataLoader(
+            self._IdxDataset(), batch_size=8, num_workers=1, seed=3,
+            process_index=rank, process_count=count,
+        )
+        dl.set_epoch(1)
+        return [b["i"].ravel() for b in dl]
+
+    def test_disjoint_and_complete(self):
+        full = self._batches(0, 1)
+        shards = [self._batches(r, 2) for r in range(2)]
+        assert len(full) == len(shards[0]) == len(shards[1]) == 3
+        for gb, s0, s1 in zip(full, *shards):
+            assert s0.shape == s1.shape == (4,)
+            assert set(s0) & set(s1) == set()
+            assert set(s0) | set(s1) == set(gb)
+
+    def test_requires_drop_last(self):
+        from preworld_tpu.data.loader import DataLoader
+
+        with pytest.raises(AssertionError):
+            DataLoader(
+                self._IdxDataset(), batch_size=8, drop_last=False,
+                process_index=0, process_count=2,
+            )
+
+
+class TestBatchedEval:
+    def test_evaluate_miou_batched_sharded(self):
+        """Batched eval over the 8-device mesh with a padded final batch
+        matches the per-sample serial metric exactly."""
+        from preworld_tpu.data import synthetic_batch, tiny_config
+        from preworld_tpu.metrics import MetricMIoU
+        from preworld_tpu.models import PreWorld
+        from preworld_tpu.parallel import make_mesh
+        from preworld_tpu.train.evaluate import evaluate_miou
+
+        cfg = tiny_config(
+            if_post_finetune=True, if_render=False, use_lss_depth_loss=False
+        )
+        model = PreWorld(cfg)
+        n = 5  # not a multiple of 8 -> exercises padding
+        samples = [
+            {k: v[0] for k, v in
+             synthetic_batch(cfg, 1, num_rays=64, seed=i).items()}
+            for i in range(n)
+        ]
+        tx = make_optimizer()
+        state = create_train_state(
+            model,
+            {k: jnp.asarray(v[None]) for k, v in samples[0].items()},
+            tx, jax.random.PRNGKey(0),
+        )
+        mesh = make_mesh(n_data=8, n_seq=1)
+        dumped = {}
+        res = evaluate_miou(
+            model, state, samples, mesh, num_classes=cfg.num_classes,
+            use_image_mask=True, dump_fn=lambda i, occ: dumped.__setitem__(i, occ),
+        )
+        assert len(dumped) == n
+        # serial oracle on the dumped predictions
+        m = MetricMIoU(num_classes=cfg.num_classes, use_image_mask=True)
+        for i, s in enumerate(samples):
+            m.add_batch(dumped[i], s["voxel_semantics"],
+                        s.get("mask_lidar"), s.get("mask_camera"))
+        assert res["mIoU"] == m.count_miou()["mIoU"]
+        assert np.isfinite(res["mIoU"])
+
+
+class TestWRSClamp:
+    def test_near_empty_class_weight_finite(self):
+        # one class with zero pixels: max/n explodes; weight must stay finite
+        seg = np.zeros(100_000, np.int64)
+        seg[:3] = 1  # class 2..16 completely absent
+        w = class_balance_weights(seg, num_classes=17)
+        assert np.all(np.isfinite(w))
+        assert w[0] == pytest.approx(1.0, abs=1e-5)
+        assert w.max() <= np.float32(np.exp(60.0))

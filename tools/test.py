@@ -2,7 +2,9 @@
 """Evaluate a PreWorld checkpoint: 3-D occupancy mIoU on Occ3D-nuScenes.
 
 CLI parity with the reference `tools/test.py` (config, checkpoint, --eval),
-single-process SPMD instead of torch.distributed.
+single-process SPMD instead of torch.distributed; eval runs batched with
+the batch dim sharded over all devices (the reference's distributed test
+loop + rank gather, `apis/test.py:63-195`).
 """
 
 import argparse
@@ -21,6 +23,8 @@ def parse_args():
                         "random weights (smoke)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="eval batch (default: one sample per device)")
     p.add_argument("--out", default=None, help="dump predictions .npz dir")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -36,8 +40,12 @@ def main():
     from preworld_tpu.utils import Config
     from preworld_tpu.train.builder import build_model
     from preworld_tpu.train import create_train_state, make_optimizer
+    from preworld_tpu.train.evaluate import evaluate_miou
     from preworld_tpu.train.loop import maybe_resume
-    from preworld_tpu.metrics import MetricMIoU
+    from preworld_tpu.parallel import make_mesh
+
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     model = build_model(cfg)
@@ -47,7 +55,9 @@ def main():
 
         n = args.num_samples or 4
         samples = [
-            synthetic_batch(model.cfg, 1, num_rays=512, seed=i) for i in range(n)
+            {k: v[0] for k, v in
+             synthetic_batch(model.cfg, 1, num_rays=512, seed=i).items()}
+            for i in range(n)
         ]
     else:
         from preworld_tpu.data.nuscenes import NuScenesOccDataset
@@ -61,55 +71,45 @@ def main():
             data_root=data_cfg.get("data_root", ""),
         )
         n = args.num_samples or len(dataset)
-        samples = (dataset[i] for i in range(n))
-        samples = (
-            {k: v[None] for k, v in s.items()} for s in samples
-        )
+        # rank-strided shard of the val set (reference DistributedSampler
+        # in the test loop, apis/test.py:63-80)
+        rank, world = jax.process_index(), jax.process_count()
+        samples = (dataset[i] for i in range(rank, n, world))
 
+    mesh = make_mesh(n_data=len(jax.devices()), n_seq=1)
     tx = make_optimizer()
-    first = None
-    metric = MetricMIoU(num_classes=18, use_image_mask=True)
 
-    state = None
-    predict_jit = None
-    preds = []
-    for i, sample in enumerate(samples):
-        batch = {k: jnp.asarray(v) for k, v in sample.items()}
-        infer = {
-            k: v for k, v in batch.items()
-            if k in ("imgs", "sensor2egos", "ego2globals", "intrins",
-                     "post_rots", "post_trans", "bda")
-        }
-        if state is None:
-            state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
-            if args.checkpoint:
-                state, resumed = maybe_resume(state, args.checkpoint)
-                logging.info("checkpoint restored: %s", resumed)
+    samples = iter(samples)
+    first = next(samples)
 
-            @jax.jit
-            def predict_jit(params, batch_stats, b):
-                return model.apply(
-                    {"params": params, "batch_stats": batch_stats}, b,
-                    train=False,
-                )
+    def chain():
+        yield first
+        yield from samples
 
-        out = predict_jit(state.ema_params, state.batch_stats, infer)
-        occ = np.asarray(out["semantic_occ"][0])
-        preds.append(occ)
-        if "voxel_semantics" in sample:
-            metric.add_batch(
-                occ,
-                sample["voxel_semantics"][0],
-                sample.get("mask_lidar", [None])[0],
-                sample.get("mask_camera", [None])[0],
-            )
-        if args.out:
-            os.makedirs(args.out, exist_ok=True)
+    state = create_train_state(
+        model,
+        {k: jnp.asarray(v[None]) for k, v in first.items()},
+        tx,
+        jax.random.PRNGKey(0),
+    )
+    if args.checkpoint:
+        state, resumed = maybe_resume(state, args.checkpoint)
+        logging.info("checkpoint restored: %s", resumed)
+
+    dump_fn = None
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+        def dump_fn(i, occ):
             np.savez_compressed(
                 os.path.join(args.out, f"{i:06d}.npz"), semantics=occ
             )
 
-    results = metric.count_miou()
+    results = evaluate_miou(
+        model, state, chain(), mesh,
+        num_classes=model.cfg.num_classes, use_image_mask=True,
+        batch_size=args.batch_size, dump_fn=dump_fn,
+    )
     print(results)
 
 

@@ -2,8 +2,19 @@
 """Evaluate 4-D occupancy forecasting (temporal mIoU at 0/1/2/3 s).
 
 CLI parity with the reference `tools/test_temporal.py`: rolls the model out
-6 future steps per sample and scores horizons {0, 2, 4, 6} frames
+6 future steps per sample and scores against GT at +{0, 2, 4, 6} frames
 (<-> 0/1/2/3 s) with the unmasked temporal mIoU protocol.
+
+Pred-to-horizon mapping (--protocol):
+  reference (default): rollout steps {0, 1, 3, 5}. The reference writes
+    rollout step k under key `semantic_occ_{k+1}s` at inference
+    (`preworld_temporal_traj.py:297` — future_interval = ego_interval + 2),
+    stacks keys {0,2,4,6}s (`apis/test.py:218-223`) and scores GT at
+    +{0,2,4,6} frames against stack position idx//2 (`occ_metrics.py:512`)
+    — so the published 9.55 compares rollout steps {1,3,5} to 1/2/3 s GT.
+  aligned: rollout steps {0, 2, 4, 6} — step k is trained against +k-frame
+    GT (0.5 s keyframes), so this scores each horizon with the step trained
+    for it. NOT comparable to the reference's published numbers.
 """
 
 import argparse
@@ -20,6 +31,9 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--protocol", choices=("reference", "aligned"),
+                   default="reference",
+                   help="horizon->rollout-step mapping (see module docstring)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -34,7 +48,7 @@ def main():
     from preworld_tpu.utils import Config
     from preworld_tpu.train.builder import build_model
     from preworld_tpu.models.preworld_traj import PreWorld4DTraj
-    from preworld_tpu.train import create_train_state, make_optimizer
+    from preworld_tpu.train import create_train_state, eval_params, make_optimizer
     from preworld_tpu.train.loop import maybe_resume
     from preworld_tpu.metrics import MetricMIoUTemporal
 
@@ -116,11 +130,11 @@ def main():
                     train=False,
                 )
 
-        out = predict_jit(state.ema_params, state.batch_stats, infer)
-        # horizons 0/1/2/3 s <-> rollout steps 0/2/4/6 (2 Hz keyframes)
+        out = predict_jit(eval_params(state), state.batch_stats, infer)
+        steps = (0, 1, 3, 5) if args.protocol == "reference" else (0, 2, 4, 6)
         preds = {
             h: np.asarray(out[f"semantic_occ_{f}s"][0])
-            for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6))
+            for h, f in zip((0, 1, 2, 3), steps)
         }
         metric.add_batch(preds, gts)
 

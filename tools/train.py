@@ -23,8 +23,15 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train PreWorld (TPU)")
     p.add_argument("config", help="config file path")
     p.add_argument("--work-dir", default=None)
-    p.add_argument("--resume-from", default=None)
+    p.add_argument("--resume-from", default=None,
+                   help="explicit checkpoint/work_dir to resume optimizer "
+                        "state from (reference tools/train.py:148-156)")
     p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--load-from", default=None,
+                   help="warm-start params overlay (.pkl from "
+                        "tools/convert_torch_checkpoint.py); mmcv "
+                        "load_from strict=False parity "
+                        "(reference bevstereo-occ.py:257)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--validate", action="store_true",
                    help="run mIoU eval after each epoch (reference EvalHook)")
@@ -48,9 +55,9 @@ def main():
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(message)s"
     )
+    import flax
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from preworld_tpu.utils import Config
     from preworld_tpu.train.builder import build_model
@@ -82,8 +89,11 @@ def main():
     )
 
     data_cfg = cfg.get("data", {})
+    # global batch = samples_per_device x data-parallel extent (devices not
+    # on the data axis serve sequence parallelism, not batch)
+    n_seq = int(cfg.get("parallel", {}).get("n_seq", 1))
     batch_size = int(data_cfg.get("samples_per_gpu", 1)) * max(
-        1, len(jax.devices())
+        1, len(jax.devices()) // n_seq
     )
 
     if args.synthetic:
@@ -109,10 +119,8 @@ def main():
 
         dataset = SyntheticDataset(model.cfg)
     else:
-        from preworld_tpu.data.nuscenes import NuScenesOccDataset
-
         tr = data_cfg.get("train", {})
-        dataset = NuScenesOccDataset(
+        common = dict(
             ann_file=tr["ann_file"],
             data_config=cfg["data_config"],
             grid_config=cfg["grid_config"],
@@ -125,16 +133,32 @@ def main():
             semantic_gt_path=tr.get("semantic_gt_path"),
             data_root=data_cfg.get("data_root", ""),
         )
+        if cfg["model"].get("type") == "PreWorld4DTraj":
+            # 4D-traj training feeds forward_train from the trajectory
+            # dataset (reference nuscenes_dataset_occ_trajectory.py:388-476)
+            from preworld_tpu.data.nuscenes_traj import NuScenesOccTrajDataset
+
+            dataset = NuScenesOccTrajDataset(
+                ego_gt_path=tr.get("ego_gt_path"),
+                traj_gt_path=tr.get("traj_gt_path"),
+                **common,
+            )
+        else:
+            from preworld_tpu.data.nuscenes import NuScenesOccDataset
+
+            dataset = NuScenesOccDataset(**common)
 
     loader = DataLoader(
         dataset,
         batch_size=batch_size,
         num_workers=int(data_cfg.get("workers_per_gpu", 2)) * 2,
         seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_data=n_dev, n_seq=1)
+    mesh = make_mesh(n_data=n_dev // n_seq, n_seq=n_seq)
     example = next(iter(loader))
     state = create_train_state(
         model,
@@ -145,15 +169,39 @@ def main():
     )
     state = jax.device_put(state, replicate_sharding(mesh))
 
+    load_from = args.load_from or cfg.get("load_from")
+    if load_from:
+        # mmcv load_from strict=False parity (reference apis/train.py:308-318
+        # + bevstereo-occ.py:257): overlay the ported torch tensors over the
+        # fresh init; heads absent from the source keep their init. The EMA
+        # copy gets the same overlay so EMA starts from the warm weights.
+        import pickle
+
+        from preworld_tpu.utils.torch_port import merge_trees
+
+        with open(load_from, "rb") as fh:
+            ported = pickle.load(fh)
+        params = merge_trees(
+            flax.core.unfreeze(state.params), ported["params"]
+        )
+        stats = merge_trees(
+            flax.core.unfreeze(state.batch_stats), ported.get("batch_stats", {})
+        )
+        state = state.replace(
+            params=params, ema_params=params, batch_stats=stats
+        )
+        logging.info("warm-started from %s", load_from)
+
     if args.auto_resume or args.resume_from:
-        state, resumed = maybe_resume(state, work_dir)
+        state, resumed = maybe_resume(state, work_dir, args.resume_from)
         if resumed:
             logging.info("resumed from checkpoint at step %d", int(state.step))
 
     max_epochs = args.epochs or int(cfg.get("runner", {}).get("max_epochs", 12))
 
     step_factory = None
-    train_step = make_train_step(model, tx)
+    ema_decay = float(cfg.get("ema", {}).get("decay", 0.999))
+    train_step = make_train_step(model, tx, ema_decay=ema_decay)
     if cfg["model"].get("type") == "PreWorld4DTraj":
         # rollout-length curriculum (`preworld_temporal_traj.py:440-449`)
         from functools import lru_cache
@@ -162,7 +210,9 @@ def main():
 
         @lru_cache(maxsize=8)
         def _step_for(n_future):
-            return make_train_step(model, tx, num_future=n_future)
+            return make_train_step(
+                model, tx, ema_decay=ema_decay, num_future=n_future
+            )
 
         def step_factory(epoch):
             return _step_for(rollout_curriculum(epoch, model.cfg.if_render))
@@ -171,13 +221,14 @@ def main():
 
     eval_fn = None
     if args.validate:
-        from preworld_tpu.metrics import MetricMIoU
+        from preworld_tpu.train.evaluate import evaluate_miou
 
+        rank, world = jax.process_index(), jax.process_count()
         if args.synthetic:
             val_samples = [
-                dataset[i] for i in range(min(args.val_samples, len(dataset)))
+                dataset[i]
+                for i in range(rank, min(args.val_samples, len(dataset)), world)
             ]
-            val_dataset = None
         else:
             from preworld_tpu.data.nuscenes import NuScenesOccDataset
 
@@ -190,36 +241,15 @@ def main():
             )
             val_samples = [
                 val_dataset[i]
-                for i in range(min(args.val_samples, len(val_dataset)))
+                for i in range(rank, min(args.val_samples, len(val_dataset)),
+                               world)
             ]
 
-        infer_keys = ("imgs", "sensor2egos", "ego2globals", "intrins",
-                      "post_rots", "post_trans", "bda")
-
-        @jax.jit
-        def _predict(params, batch_stats, b):
-            return model.apply(
-                {"params": params, "batch_stats": batch_stats}, b, train=False
-            )
-
         def eval_fn(st):
-            metric = MetricMIoU(
-                num_classes=model.cfg.num_classes, use_image_mask=True
+            return evaluate_miou(
+                model, st, val_samples, mesh,
+                num_classes=model.cfg.num_classes, use_image_mask=True,
             )
-            for s in val_samples:
-                b = {
-                    k: jnp.asarray(v[None]) for k, v in s.items()
-                    if k in infer_keys
-                }
-                b["bda"] = jnp.asarray(s["bda"][None])
-                out = _predict(st.ema_params, st.batch_stats, b)
-                if "voxel_semantics" in s:
-                    metric.add_batch(
-                        np.asarray(out["semantic_occ"][0]),
-                        s["voxel_semantics"],
-                        mask_camera=s.get("mask_camera"),
-                    )
-            return metric.count_miou()
 
     train_epochs(
         state,
