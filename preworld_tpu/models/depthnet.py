@@ -151,11 +151,18 @@ def stereo_cost_volume_expanded(
     """`stereo_cost_volume` with the warp's bilinear gather done through a
     corner-expanded table (ops/field_sample.py): one contiguous 4C-row per
     sample instead of a strided (2,2,C) patch. Same math, same output.
+
+    TPU placement note: cameras are processed in an UNROLLED python loop, not
+    vmap — a vmapped gather would batch the six per-camera tables into one
+    (6·(H+1)(W+1), 4C) operand (~280 MB at flagship scale), which exceeds
+    VMEM and drops the gather into the slow HBM descriptor regime (~71 M
+    desc/s measured on v5e). One table per gather op (~47 MB) stays
+    VMEM-resident at ~200+ M desc/s — measured 4.4x faster end-to-end.
     """
     BN, H, W, C = curr_feat.shape
     D = grid.shape[1] // H
     assert D % depth_chunk == 0, (D, depth_chunk)
-    tables = jax.vmap(build_corner_table_2d)(prev_feat)
+    grid = grid.reshape(BN, D, H, W, 2)
 
     def per_cam(table, gcam, curr):
         def one_chunk(gc):  # (chunk, H, W, 2)
@@ -170,7 +177,12 @@ def stereo_cost_volume_expanded(
         gc = gcam.reshape(D // depth_chunk, depth_chunk, H, W, 2)
         return jax.lax.map(one_chunk, gc).reshape(D, H, W)
 
-    cost = jax.vmap(per_cam)(tables, grid.reshape(BN, D, H, W, 2), curr_feat)
+    cost = jnp.stack(
+        [
+            per_cam(build_corner_table_2d(prev_feat[i]), grid[i], curr_feat[i])
+            for i in range(BN)
+        ]
+    )
     return nn.softmax(-cost, axis=1)
 
 

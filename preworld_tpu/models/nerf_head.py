@@ -13,13 +13,15 @@ The whole render is vmapped over the batch.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
-from ..ops.field_sample import build_corner_table, sample_corner_table
+from ..ops.field_sample import build_parity_tables, sample_tables_fused
 from ..ops.grid_sample import grid_sample_3d
 from ..ops.render import (
     RaySamplingSpec,
@@ -74,11 +76,18 @@ class NerfHeadConfig:
     balance_cls_weight: bool = True
     max_depth: float = 52.0
     variance_focus: float = 0.85
-    # rays rendered per lax.map step: the trilinear patch gather materializes
-    # ~4 KB per (ray, sample) after TPU lane padding, so 38400 x 417 at once
-    # would need ~65 GB; chunking + rematerialization keeps the live footprint
-    # at chunk*417*4KB (and recomputes the gathers in the backward).
-    ray_chunk: int = 1200
+    # dtype of the gather tables the renderer samples from: "auto" uses
+    # bfloat16 on TPU (each z-parity table then fits VMEM — the fast gather
+    # regime; see ops/field_sample.py) and float32 elsewhere. Trilinear
+    # weights and compositing stay float32 either way.
+    table_dtype: str = "auto"
+    # 0 (default) renders all rays densely in one pass: with the fused
+    # corner-table sampler the largest live intermediate is the sampled
+    # (R*S, C) values (~1.3 GB f32 at flagship scale), and the backward does
+    # ONE corner8-layout scatter+fold. ray_chunk > 0 is a memory fallback
+    # (lax.map + remat over ray chunks) — it multiplies the backward's
+    # table-fold cost by the chunk count, so prefer dense when HBM allows.
+    ray_chunk: int = 0
 
 
 def _sample_field(field_xyzc: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray:
@@ -112,26 +121,33 @@ def render_scene(
     slices under `jax.checkpoint` (see NerfHeadConfig.ray_chunk).
     """
     R = rays_o.shape[0]
-    chunk = min(cfg.ray_chunk, R)
+    chunk = min(cfg.ray_chunk, R) if cfg.ray_chunk > 0 else R
     if R % chunk != 0:  # fall back to one pass for odd test sizes
         chunk = R
     n_chunks = R // chunk
 
-    # sample the three fields with ONE fused gather (21 channels), via the
-    # corner-expanded table: one descriptor + one contiguous row per
-    # (ray, sample) — see ops/field_sample.py. Built ONCE per scene, shared
-    # by (and recomputed gathers notwithstanding) all remat'd ray chunks.
+    # sample the three fields with ONE fused gather op (21 channels) via the
+    # z-parity corner tables: two VMEM-regime descriptors per (ray, sample),
+    # single 8-corner-layout scatter in the backward (sample_tables_fused).
+    # Tables are built ONCE per scene, outside the remat'd ray chunks;
+    # stop_gradient because the custom VJP already yields the FULL d_field.
     fused = jnp.concatenate([density[..., None], semantic, color], axis=-1)
-    table = build_corner_table(fused)
-    dims = fused.shape[:3]
+    tdt = cfg.table_dtype
+    if tdt == "auto":
+        tdt = "bfloat16" if jax.default_backend() == "tpu" else None
+    t_e, t_o = build_parity_tables(jax.lax.stop_gradient(fused), tdt)
 
-    @jax.checkpoint
+    # under remat, keep the sampled field values as residuals (the gathers
+    # are the expensive part; everything downstream is cheap VPU math)
+    policy = jax.checkpoint_policies.save_only_these_names("render_sampled")
+
+    @partial(jax.checkpoint, policy=policy)
     def one_chunk(args):
         ro, rd = args
-        return _render_rays(table, dims, ro, rd, bda, cfg)
+        return _render_rays(fused, t_e, t_o, ro, rd, bda, cfg)
 
     if n_chunks == 1:
-        return _render_rays(table, dims, rays_o, rays_d, bda, cfg)
+        return _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg)
     out = jax.lax.map(
         one_chunk,
         (
@@ -142,7 +158,7 @@ def render_scene(
     return {k: v.reshape(R, *v.shape[2:]) for k, v in out.items()}
 
 
-def _render_rays(table, dims, rays_o, rays_d, bda, cfg):
+def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg):
     spec = cfg.spec
     pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
     keep = cumdist_mask(pts, inner, spec)
@@ -151,8 +167,9 @@ def _render_rays(table, dims, rays_o, rays_d, bda, cfg):
     hi = jnp.asarray(spec.xyz_max)
     pts_norm = (pts - lo) / (hi - lo) * 2.0 - 1.0
 
-    sampled = sample_corner_table(table, dims, pts_norm)  # (R, S, 21)
-    nsem = table.shape[-1] // 8 - 4
+    sampled = sample_tables_fused(fused, t_e, t_o, pts_norm)  # (R, S, 21)
+    sampled = checkpoint_name(sampled, "render_sampled")
+    nsem = fused.shape[-1] - 4
     dens = sampled[..., 0]
     sem = sampled[..., 1 : 1 + nsem]
     col = sampled[..., 1 + nsem :]
@@ -243,9 +260,20 @@ def nerf_head_losses(
     gt_depth = jnp.where(gt_depth > cfg.max_depth, 0.0, gt_depth)
     ray_mask = (gt_depth > 0).astype(jnp.float32)
 
-    out = jax.vmap(
-        lambda d, se, co, ro, rd, b: render_scene(d, se, co, ro, rd, b, cfg)
-    )(density, semantic, color, rays_o, rays_d, bda)
+    # static python loop over the (small) batch instead of vmap: a vmapped
+    # gather lowers to a batched-gather dimension-numbers form that misses
+    # the fast TPU descriptor path the renderer's tables are laid out for
+    B_ = density.shape[0]
+    per_scene = [
+        render_scene(
+            density[i], semantic[i], color[i], rays_o[i], rays_d[i], bda[i],
+            cfg,
+        )
+        for i in range(B_)
+    ]
+    out = {
+        k: jnp.stack([p[k] for p in per_scene]) for k in per_scene[0]
+    }
 
     n_sem = semantic.shape[-1]
     class_w = jnp.asarray(

@@ -23,7 +23,12 @@ from ..geometry.frustum import (
 )
 from ..ops.bev_pool import bev_pool
 from ..ops.bev_pool_pallas import bev_pool_fused
-from .depthnet import DepthNet, gen_stereo_grid, stereo_cost_volume
+from .depthnet import (
+    DepthNet,
+    gen_stereo_grid,
+    stereo_cost_volume,
+    stereo_cost_volume_expanded,
+)
 
 
 def get_mlp_input(sensor2ego, ego2global, intrin, post_rot, post_tran, bda):
@@ -80,6 +85,9 @@ class LSSViewTransformer(nn.Module):
     depth_loss_weight: float = 0.05
     aspp_mid_channels: int = 96
     use_pallas_pool: Optional[bool] = None  # None -> auto (TPU only)
+    # corner-table (VMEM-resident gather) cost volume: ~1.4x the patch-gather
+    # path on v5e (see stereo_cost_volume_expanded). None -> auto (TPU only).
+    use_table_cost_volume: Optional[bool] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -123,7 +131,14 @@ class LSSViewTransformer(nn.Module):
                     cams["post_tran"],
                     self.input_size,
                 )
-                cost_volume = stereo_cost_volume(
+                use_table = self.use_table_cost_volume
+                if use_table is None:
+                    use_table = jax.default_backend() == "tpu"
+                cv_fn = (
+                    stereo_cost_volume_expanded if use_table
+                    else stereo_cost_volume
+                )
+                cost_volume = cv_fn(
                     stereo["prev_feat"],
                     stereo["curr_feat"],
                     grid_w,

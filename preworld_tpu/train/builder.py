@@ -43,6 +43,7 @@ def build_nerf_config(nerf_cfg: Dict[str, Any], world_len: int) -> NerfHeadConfi
         weight_color=float(nerf_cfg.get("weight_color", 1.0)),
         weight_entropy_last=float(nerf_cfg.get("weight_entropy_last", 0.01)),
         weight_distortion=float(nerf_cfg.get("weight_distortion", 0.01)),
+        table_dtype=str(nerf_cfg.get("table_dtype", "auto")),
     )
 
 

@@ -187,6 +187,88 @@ class TestFieldSample:
             np.asarray(g_fast), np.asarray(g_oracle), rtol=1e-4, atol=1e-4
         )
 
+    def test_parity_tables_match_oracle(self):
+        """z-parity two-table sampling (the TPU fwd) == the oracle, f32."""
+        from preworld_tpu.models.nerf_head import _sample_field
+        from preworld_tpu.ops.field_sample import (
+            build_parity_tables,
+            sample_parity_tables,
+        )
+
+        field, pts = self._setup(3)
+        want = _sample_field(field, pts)
+        t_e, t_o = build_parity_tables(field)
+        got = sample_parity_tables(t_e, t_o, field.shape[:3], pts, 21)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+        # even-Z dims exercise the other n_even/n_odd split
+        field2 = field[:, :, :4]
+        want2 = _sample_field(field2, pts)
+        t_e, t_o = build_parity_tables(field2)
+        got2 = sample_parity_tables(t_e, t_o, field2.shape[:3], pts, 21)
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(want2), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_custom_vjp_matches_oracle(self):
+        """sample_field_fused: fwd == oracle; bwd (corner8 scatter) == the
+        oracle's autodiff gradient; no grad to pts."""
+        from preworld_tpu.models.nerf_head import _sample_field
+        from preworld_tpu.ops.field_sample import sample_field_fused
+
+        field, pts = self._setup(4)
+        got = sample_field_fused(field, pts)
+        want = _sample_field(field, pts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+        cot = jnp.asarray(
+            np.random.default_rng(5).normal(size=want.shape).astype(np.float32)
+        )
+        g_f, g_p = jax.grad(
+            lambda f, p: (cot * sample_field_fused(f, p)).sum(),
+            argnums=(0, 1),
+        )(field, pts)
+        g_oracle = jax.grad(
+            lambda f: (cot * _sample_field(f, pts)).sum()
+        )(field)
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_oracle), rtol=1e-4, atol=1e-4
+        )
+        assert float(jnp.abs(g_p).max()) == 0.0
+
+    def test_segmented_scatter_grad_matches(self):
+        """The bwd's lax.scan-segmented scatter == the single-shot scatter
+        (incl. the zero-update padding of the final segment)."""
+        from preworld_tpu.ops.field_sample import _corner8_scatter_grad
+
+        field, pts = self._setup(7)
+        g = jnp.asarray(
+            np.random.default_rng(8)
+            .normal(size=(*pts.shape[:-1], field.shape[-1]))
+            .astype(np.float32)
+        )
+        one = _corner8_scatter_grad(field.shape, field.shape[:3], pts, g)
+        seg = _corner8_scatter_grad(
+            field.shape, field.shape[:3], pts, g, seg_target=97
+        )
+        np.testing.assert_allclose(
+            np.asarray(seg), np.asarray(one), rtol=1e-5, atol=1e-5
+        )
+
+    def test_bf16_tables_close_to_f32(self):
+        """The flagship's bfloat16 sampling tables stay within bf16 noise."""
+        from preworld_tpu.ops.field_sample import sample_field_fused
+
+        field, pts = self._setup(6)
+        exact = sample_field_fused(field, pts)
+        quant = sample_field_fused(field, pts, jnp.bfloat16)
+        err = np.abs(np.asarray(quant) - np.asarray(exact))
+        scale = np.abs(np.asarray(exact)) + 1.0
+        assert (err / scale).max() < 3e-2
+
 
 class TestRender:
     def test_spec_counts_match_reference(self):
@@ -346,6 +428,35 @@ class TestBevPoolPallas:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestCostVolumeExpanded:
+    """Corner-table cost volume (the TPU default) == grid_sample oracle."""
+
+    def test_matches_patch_path(self):
+        from preworld_tpu.models.depthnet import (
+            stereo_cost_volume,
+            stereo_cost_volume_expanded,
+        )
+
+        rng = np.random.default_rng(3)
+        BN, H, W, C, D = 3, 12, 20, 16, 4
+        prev = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        # warp mixing in-image, border-straddling, and far-out samples
+        gx = rng.uniform(-1.4, 1.4, size=(BN, D, H, W)).astype(np.float32)
+        gy = rng.uniform(-1.4, 1.4, size=(BN, D, H, W)).astype(np.float32)
+        gx[:, 0, :2] = -2.0  # behind-camera sentinel
+        gy[:, 0, :2] = -2.0
+        grid = jnp.asarray(np.stack([gx, gy], -1).reshape(BN, D * H, W, 2))
+
+        ref = stereo_cost_volume(prev, curr, grid, bias=5.0, depth_chunk=2)
+        ours = stereo_cost_volume_expanded(
+            prev, curr, grid, bias=5.0, depth_chunk=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
 
 
 class TestPlaneSweepKernel:
