@@ -82,9 +82,14 @@ class WindowMSA(nn.Module):
         scale = head_dim**-0.5
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        # keep (Bn, N, h, d) layouts and fold head into dot_general batch
+        # dims — the torch-style transpose(2,0,3,1,4) materializes three
+        # (Bn, h, N, d) copies that XLA won't always fuse away
+        qkv = qkv.reshape(Bn, N, 3, h, head_dim)
+        q = qkv[:, :, 0] * scale
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -100,8 +105,7 @@ class WindowMSA(nn.Module):
             attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
             attn = attn.reshape(Bn, h, N, N)
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 

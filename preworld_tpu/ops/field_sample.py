@@ -96,16 +96,17 @@ def sample_corner_table_2d(
     fy = (y - y0).astype(jnp.float32)
     xs = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
     ys = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
-    rows = table[ys * (W + 1) + xs].reshape(-1, 4, C)
-    w4 = jnp.stack(
-        [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx], axis=-1
-    )
-    # accumulate in f32 (cast back at the end): on TPU the plain-bf16 einsum
-    # would otherwise round DIFFERENTLY from the excess-precision elementwise
-    # path XLA gives torch-style grid_sample, drifting from the f32 oracle
-    out = jnp.einsum(
-        "pkc,pk->pc", rows, w4, preferred_element_type=jnp.float32
-    )
+    rows = table[ys * (W + 1) + xs]  # (P, 4C)
+    # flat 2D slice-multiply-add combine, f32 accumulation: a (P, 4, C)
+    # reshape + einsum would force a sublane-padded 3D relayout on TPU
+    # (~8x the bytes), and plain-bf16 accumulation would round differently
+    # from the excess-precision elementwise grid_sample path
+    w4 = ((1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx)
+    out = rows[:, :C].astype(jnp.float32) * w4[0][:, None]
+    for k in (1, 2, 3):
+        out = out + (
+            rows[:, k * C : (k + 1) * C].astype(jnp.float32) * w4[k][:, None]
+        )
     valid = (x0 + 1 >= 0) & (x0 <= W - 1) & (y0 + 1 >= 0) & (y0 <= H - 1)
     return (out * valid[:, None].astype(jnp.float32)).astype(table.dtype)
 
