@@ -113,12 +113,18 @@ def render_scene(
     rays_d: jnp.ndarray,
     bda: jnp.ndarray,
     cfg: NerfHeadConfig,
+    ray_mask: jnp.ndarray = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render depth/semantic/color for R rays against one voxel scene.
 
     Parity: `render_one_scene` + the three `render_*` reducers
     (`nerf_head.py:165-269,331-353`). Rays are processed in `cfg.ray_chunk`
     slices under `jax.checkpoint` (see NerfHeadConfig.ray_chunk).
+
+    When `ray_mask` (R,) is given, the distortion loss is reduced in-scene
+    and returned as the scalar "loss_distortion" instead of shipping the
+    (R, S) weights/s/live arrays to the caller — those three arrays are
+    ~200 MB each at flagship scale and only feed the distortion reduction.
     """
     R = rays_o.shape[0]
     chunk = min(cfg.ray_chunk, R) if cfg.ray_chunk > 0 else R
@@ -143,22 +149,40 @@ def render_scene(
 
     @partial(jax.checkpoint, policy=policy)
     def one_chunk(args):
-        ro, rd = args
-        return _render_rays(fused, t_e, t_o, ro, rd, bda, cfg)
+        ro, rd, m = args
+        return _render_rays(fused, t_e, t_o, ro, rd, bda, cfg, m)
 
+    if ray_mask is None:
+        ray_mask = jnp.ones((R,), jnp.float32)
     if n_chunks == 1:
-        return _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg)
-    out = jax.lax.map(
-        one_chunk,
-        (
-            rays_o.reshape(n_chunks, chunk, 3),
-            rays_d.reshape(n_chunks, chunk, 3),
-        ),
-    )
-    return {k: v.reshape(R, *v.shape[2:]) for k, v in out.items()}
+        out = _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg,
+                           ray_mask)
+    else:
+        out = jax.lax.map(
+            one_chunk,
+            (
+                rays_o.reshape(n_chunks, chunk, 3),
+                rays_d.reshape(n_chunks, chunk, 3),
+                ray_mask.reshape(n_chunks, chunk),
+            ),
+        )
+        out = {
+            k: (v.sum(axis=0) if k.startswith("dist_")
+                else v.reshape(R, *v.shape[2:]))
+            for k, v in out.items()
+        }
+    # distortion (flatten_eff_distloss parity, `nerf_head.py:295-298`):
+    # interval = 1/n_max with n_max = surviving supervised samples scene-
+    # wide; normalized by the number of supervised rays
+    n_max = jnp.maximum(out.pop("dist_live"), 1.0)
+    n_rays = jnp.maximum(ray_mask.sum(), 1.0)
+    out["loss_distortion"] = (
+        2.0 * out.pop("dist_bi") + (1.0 / 3.0) / n_max * out.pop("dist_w2")
+    ) / n_rays
+    return out
 
 
-def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg):
+def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg, ray_mask):
     spec = cfg.spec
     pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
     keep = cumdist_mask(pts, inner, spec)
@@ -188,14 +212,26 @@ def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg):
     render_depth = (weights * s[None, :]).sum(axis=1) * spec.radius + 1e-7
     render_sem = (weights[..., None] * sem).sum(axis=1)
     render_col = (weights[..., None] * col).sum(axis=1)
+
+    # distortion partial sums (chunk-additive; see render_scene): the
+    # bilateral term uses prefix sums so the (S, S) pairwise product never
+    # materializes (flatten_eff_distloss parity, `nerf_head.py:295-298`)
+    w = weights * ray_mask[:, None]
+    sb = s[None, :]
+    wm = w * sb
+    w_prefix = jnp.cumsum(w, axis=1) - w
+    wm_prefix = jnp.cumsum(wm, axis=1) - wm
+    dist_bi = (w * (sb * w_prefix - wm_prefix)).sum()
+    dist_w2 = (w * w).sum()
+    dist_live = (live * ray_mask[:, None]).sum()
     return {
         "render_depth": render_depth,
         "render_semantic": render_sem,
         "render_color": render_col,
         "alphainv_last": alphainv_last,
-        "weights": weights,
-        "s": jnp.broadcast_to(s[None, :], weights.shape),
-        "live": live,
+        "dist_bi": dist_bi,
+        "dist_w2": dist_w2,
+        "dist_live": dist_live,
     }
 
 
@@ -216,22 +252,6 @@ def _silog(est, gt, mask, variance_focus=0.85):
     mean_sq = (d * d).sum() / n
     mean = d.sum() / n
     return jnp.sqrt(jnp.maximum(mean_sq - variance_focus * mean * mean, 1e-12))
-
-
-def _distortion(weights, s, live, mask_ray):
-    """Efficient distortion loss (flatten_eff_distloss parity,
-    `nerf_head.py:295-298`): interval = 1/n_max with n_max = number of
-    surviving samples; normalized by the number of supervised rays."""
-    w = weights * mask_ray[:, None]
-    n_max = jnp.maximum((live * mask_ray[:, None]).sum(), 1.0)
-    interval = 1.0 / n_max
-    wm = w * s
-    w_prefix = jnp.cumsum(w, axis=1) - w
-    wm_prefix = jnp.cumsum(wm, axis=1) - wm
-    loss_bi = 2.0 * (w * (s * w_prefix - wm_prefix)).sum()
-    loss_uni = (1.0 / 3.0) * interval * (w * w).sum()
-    n_rays = jnp.maximum(mask_ray.sum(), 1.0)
-    return (loss_bi + loss_uni) / n_rays
 
 
 def nerf_head_losses(
@@ -267,7 +287,7 @@ def nerf_head_losses(
     per_scene = [
         render_scene(
             density[i], semantic[i], color[i], rays_o[i], rays_d[i], bda[i],
-            cfg,
+            cfg, ray_mask[i],
         )
         for i in range(B_)
     ]
@@ -306,8 +326,7 @@ def nerf_head_losses(
             )
         if cfg.weight_distortion > 0:
             losses["loss_sdf_distortion" + suffix] = (
-                cfg.weight_distortion
-                * _distortion(out["weights"][i], out["s"][i], out["live"][i], m)
+                cfg.weight_distortion * out["loss_distortion"][i]
             )
         return losses
 

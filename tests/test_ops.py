@@ -271,6 +271,47 @@ class TestFieldSample:
 
 
 class TestRender:
+    def test_chunked_render_matches_dense(self):
+        """ray_chunk > 0 (lax.map + remat, chunk-additive distortion
+        partials) == the dense single-pass render, losses included."""
+        import dataclasses
+        from preworld_tpu.models.nerf_head import (
+            NerfHeadConfig,
+            nerf_head_losses,
+        )
+
+        rng = np.random.default_rng(0)
+        B, R, X, Y, Z = 1, 48, 12, 12, 6
+        density = jnp.asarray(rng.normal(size=(B, X, Y, Z)).astype(np.float32))
+        semantic = jnp.asarray(
+            rng.normal(size=(B, X, Y, Z, 17)).astype(np.float32)
+        )
+        color = jnp.asarray(rng.normal(size=(B, X, Y, Z, 3)).astype(np.float32))
+        rays = np.zeros((B, R, 16), np.float32)
+        rays[..., 2] = rng.uniform(1, 30, (B, R))
+        rays[..., 2, ::5] = 0.0  # some unsupervised rays
+        rays[..., 3] = rng.integers(0, 17, (B, R))
+        rays[..., 4:7] = rng.uniform(-2, 2, (B, R, 3))
+        rays[..., 7:10] = rng.normal(size=(B, R, 3))
+        rays[..., 13:16] = rng.uniform(0, 1, (B, R, 3))
+        rays = jnp.asarray(rays)
+        bda = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+
+        dense = nerf_head_losses(
+            density, semantic, color, rays, bda,
+            dataclasses.replace(NerfHeadConfig(), ray_chunk=0),
+        )
+        chunked = nerf_head_losses(
+            density, semantic, color, rays, bda,
+            dataclasses.replace(NerfHeadConfig(), ray_chunk=12),
+        )
+        assert dense.keys() == chunked.keys()
+        for k in dense:
+            np.testing.assert_allclose(
+                float(chunked[k]), float(dense[k]), rtol=2e-5, atol=1e-6,
+                err_msg=k,
+            )
+
     def test_spec_counts_match_reference(self):
         """With the paper config: bg_len=1/39, world_len=200, step 0.5
         => N_inner=391, N_outer=26 (`nerf_head.py:35-36,129`)."""
