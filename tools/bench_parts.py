@@ -110,18 +110,17 @@ def bench_nerf(backward=True):
         print(json.dumps({"stage": "nerf_render_bwd", "ms": round(t * 1e3, 1)}))
 
 
-def bench_pretrain_step():
+def _bench_train_step(cfg_path, name, num_rays=38400):
     from preworld_tpu.data import synthetic_batch
-    from preworld_tpu.models import PreWorld
     from preworld_tpu.train import create_train_state, make_optimizer, make_train_step
     from preworld_tpu.train.builder import build_model
     from preworld_tpu.utils import Config
 
-    cfg = Config.fromfile("configs/preworld/preworld_7frame_pretrain.py")
+    cfg = Config.fromfile(cfg_path)
     model = build_model(cfg)
     batch = {
         k: jnp.asarray(v)
-        for k, v in synthetic_batch(model.cfg, 1, num_rays=38400).items()
+        for k, v in synthetic_batch(model.cfg, 1, num_rays=num_rays).items()
     }
     tx = make_optimizer()
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
@@ -138,7 +137,19 @@ def bench_pretrain_step():
         new_state, m = step(new_state, b, key)
         _ = float(m["loss_total"])
         times.append(time.perf_counter() - t0)
-    print(json.dumps({"stage": "pretrain_train_step", "s": round(min(times), 2)}))
+    print(json.dumps({"stage": name, "s": round(min(times), 2)}))
+
+
+def bench_finetune_step():
+    _bench_train_step(
+        "configs/preworld/preworld_7frame_finetune.py", "finetune_train_step"
+    )
+
+
+def bench_pretrain_step():
+    _bench_train_step(
+        "configs/preworld/preworld_7frame_pretrain.py", "pretrain_train_step"
+    )
 
 
 if __name__ == "__main__":
@@ -151,3 +162,5 @@ if __name__ == "__main__":
         bench_nerf()
     if a.which in ("pretrain_step", "all"):
         bench_pretrain_step()
+    if a.which in ("finetune_step", "all"):
+        bench_finetune_step()
