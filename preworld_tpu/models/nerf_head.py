@@ -155,8 +155,15 @@ def render_scene(
     if ray_mask is None:
         ray_mask = jnp.ones((R,), jnp.float32)
     if n_chunks == 1:
-        out = _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg,
-                           ray_mask)
+        # same residual policy as the chunked path: keep only the sampled
+        # field values; geometry + compositing recompute in the backward
+        # (cheap VPU math, no re-gather). This is what lets two scenes'
+        # renders coexist in 16 GB HBM at flagship scale (B=2 per chip).
+        out = jax.checkpoint(
+            lambda a: _render_rays(fused, t_e, t_o, a[0], a[1], bda, cfg,
+                                   a[2]),
+            policy=policy,
+        )((rays_o, rays_d, ray_mask))
     else:
         out = jax.lax.map(
             one_chunk,
