@@ -52,8 +52,8 @@ def relative_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)
 
 
-def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
-    """Attention mask for SW-MSA: (nW, ws*ws, ws*ws) with 0 / -100."""
+def shifted_window_region_ids(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Per-token shift-region ids for SW-MSA, (nW, ws*ws) float32."""
     img_mask = np.zeros((1, H, W, 1), np.float32)
     cnt = 0
     for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -61,9 +61,25 @@ def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
             img_mask[:, h, w, :] = cnt
             cnt += 1
     m = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
-    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
-    attn_mask = m[:, None, :] - m[:, :, None]
-    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+    return m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> jnp.ndarray:
+    """Attention mask for SW-MSA: (nW, ws*ws, ws*ws) with 0 / -100.
+
+    Built ON DEVICE from the small (nW, ws*ws) region-id table: embedding
+    the full (nW, N, N) mask as a literal (~27 MB at flagship stage 0)
+    crashes the TPU compile when it feeds a Pallas call, and XLA's
+    constant folding would re-literalize a pure-constant expression — the
+    optimization barrier on the small table prevents both.
+    """
+    ids = jax.lax.optimization_barrier(
+        jnp.asarray(shifted_window_region_ids(H, W, ws, shift))
+    )
+    return jnp.where(
+        ids[:, None, :] != ids[:, :, None], jnp.float32(-100.0),
+        jnp.float32(0.0),
+    )
 
 
 class WindowMSA(nn.Module):
@@ -74,8 +90,9 @@ class WindowMSA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        """x: (nW*B, N, C); mask: (nW, N, N) or None."""
+    def __call__(self, x, mask=None, fused=False):
+        """x: (nW*B, N, C); mask: (nW, N, N) or None; fused selects the
+        Pallas fused-attention kernel (inference-only, TPU)."""
         Bn, N, C = x.shape
         h = self.num_heads
         head_dim = C // h
@@ -86,10 +103,6 @@ class WindowMSA(nn.Module):
         # dims — the torch-style transpose(2,0,3,1,4) materializes three
         # (Bn, h, N, d) copies that XLA won't always fuse away
         qkv = qkv.reshape(Bn, N, 3, h, head_dim)
-        q = qkv[:, :, 0] * scale
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -98,6 +111,19 @@ class WindowMSA(nn.Module):
         )
         idx = relative_position_index(self.window_size)
         bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+
+        if fused:
+            from ..ops.window_attn_pallas import fused_window_attention
+
+            out = fused_window_attention(
+                qkv.reshape(Bn, N, 3 * C), bias, mask, h
+            )
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        q = qkv[:, :, 0] * scale
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
         attn = attn + bias[None]
 
         if mask is not None:
@@ -134,13 +160,16 @@ class SwinBlock(nn.Module):
         Hp, Wp = H + pad_b, W + pad_r
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))
+            mask = shifted_window_mask(Hp, Wp, ws, shift)
         else:
             mask = None
         wins = window_partition(y, ws)
+        # fused Pallas attention at inference on TPU (no VJP; training and
+        # other backends keep the XLA einsum path)
+        fused = (not train) and jax.default_backend() == "tpu"
         wins = WindowMSA(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(wins, mask)
+        )(wins, mask, fused=fused)
         y = window_reverse(wins, ws, Hp, Wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

@@ -500,6 +500,57 @@ class TestCostVolumeExpanded:
         )
 
 
+class TestFusedWindowAttention:
+    """Pallas fused window attention (interpret) == the XLA einsum path."""
+
+    def _xla_attn(self, q, k, v, bias, mask, h):
+        Bn, N, C = q.shape
+        d = C // h
+        qh = q.reshape(Bn, N, h, d) * (d ** -0.5)
+        kh = k.reshape(Bn, N, h, d)
+        vh = v.reshape(Bn, N, h, d)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.reshape(Bn, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(Bn, N, C)
+
+    def _case(self, masked, Bn=6, N=16, h=4, d=8, nW=3, seed=0):
+        from preworld_tpu.ops.window_attn_pallas import fused_window_attention
+
+        rng = np.random.default_rng(seed)
+        C = h * d
+        q = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(h, N, N)).astype(np.float32))
+        mask = (
+            jnp.asarray(
+                np.where(rng.random((nW, N, N)) > 0.7, -100.0, 0.0)
+                .astype(np.float32)
+            )
+            if masked else None
+        )
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        got = fused_window_attention(qkv, bias, mask, h, window_g=4,
+                                     interpret=True)
+        want = self._xla_attn(q, k, v, bias, mask, h)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_unmasked(self):
+        self._case(False)
+
+    def test_masked_shifted(self):
+        self._case(True)
+
+    def test_odd_window_count(self):
+        self._case(True, Bn=9, nW=9, seed=1)  # forces window_g fallback
+
+
 class TestPlaneSweepKernel:
     """Experimental Pallas cost-volume kernel vs the XLA path (interpret)."""
 
