@@ -142,6 +142,7 @@ class SwinBlock(nn.Module):
     shift: bool
     mlp_ratio: int = 4
     drop_path: float = 0.0
+    use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -165,8 +166,14 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(y, ws)
         # fused Pallas attention at inference on TPU (no VJP; training and
-        # other backends keep the XLA einsum path)
-        fused = (not train) and jax.default_backend() == "tpu"
+        # other backends keep the XLA einsum path). use_fused_attn overrides
+        # the backend auto-detect (trace-time default_backend is wrong for
+        # an explicitly CPU-placed jit on a TPU host). N = ws*ws must be
+        # 16-aligned for the kernel's sublane-offset hint.
+        fused = self.use_fused_attn
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        fused = fused and (not train) and (ws * ws) % 16 == 0
         wins = WindowMSA(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
         )(wins, mask, fused=fused)
@@ -229,6 +236,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     return_stereo_feat: bool = True
     patch_norm: bool = True
+    use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -268,6 +276,7 @@ class SwinTransformer(nn.Module):
                     shift=(j % 2 == 1),
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[blk_id]),
+                    use_fused_attn=self.use_fused_attn,
                     dtype=self.dtype,
                     name=f"stage{i}_block{j}",
                 )(x, hw, train)

@@ -144,6 +144,14 @@ def _corner_slot(C: int) -> int:
     corner-block slice lane-aligned and (for C<=32) makes rows exactly one
     128-lane tile — both the fastest gather row shape and a layout the
     downstream slice-multiply-add consumes without any 3D relayout.
+
+    For C > 32 the slot INTENTIONALLY rounds up to whole 128-lane tiles
+    (not the next 32-lane multiple): the measured gather fast path wants
+    rows that are an integral number of 128-lane tiles, and a 32-lane
+    sub-tile slot would put corner boundaries mid-tile. The memory cost
+    (e.g. C=40 -> 128-lane slots, 3.2x) is accepted; today only C=21 and
+    C<=32 fields use this path, so keep an eye on table size vs the
+    ~128 MB VMEM-staging cliff if a wider field ever lands here.
     """
     return max(32, -(-C // 128) * 128) if C > 32 else 32
 

@@ -44,7 +44,10 @@ def _attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *,
     C = heads * d
 
     def per_window(g, _):
-        base = pl.multiple_of(g * N, 16)
+        # the 16-alignment hint is only valid when N itself is 16-aligned
+        # (callers gate on this; guard here too so a direct call can't
+        # hand the compiler a false address hint)
+        base = pl.multiple_of(g * N, 16) if N % 16 == 0 else g * N
 
         for h in range(heads):
             qh = qkv_ref[pl.ds(base, N), h * d : (h + 1) * d]
