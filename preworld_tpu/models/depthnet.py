@@ -186,6 +186,25 @@ def stereo_cost_volume_expanded(
     return nn.softmax(-cost, axis=1)
 
 
+def stereo_cost_volume_fused(
+    prev_feat: jnp.ndarray,
+    curr_feat: jnp.ndarray,
+    grid: jnp.ndarray,
+    bias: float,
+    depth_chunk: int = 8,  # unused; signature parity with the XLA paths
+) -> jnp.ndarray:
+    """`stereo_cost_volume` via the fused Pallas plane-sweep kernel
+    (ops/cost_volume_pallas.py): one y-band window DMA per output-tile
+    depth segment + MXU one-hot contraction instead of 24 GB of
+    descriptor-rate-bound gather rows. TPU only; the r3 default there.
+    """
+    del depth_chunk
+    from ..ops.cost_volume_pallas import plane_sweep_cost
+
+    cost = plane_sweep_cost(prev_feat, curr_feat, grid, bias=float(bias))
+    return nn.softmax(-cost, axis=1).astype(curr_feat.dtype)
+
+
 class DepthNet(nn.Module):
     """27-dim camera-conditioned depth + context head (`view_transformer.py:471-638`).
 

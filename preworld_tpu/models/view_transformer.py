@@ -28,6 +28,7 @@ from .depthnet import (
     gen_stereo_grid,
     stereo_cost_volume,
     stereo_cost_volume_expanded,
+    stereo_cost_volume_fused,
 )
 
 
@@ -85,8 +86,12 @@ class LSSViewTransformer(nn.Module):
     depth_loss_weight: float = 0.05
     aspp_mid_channels: int = 96
     use_pallas_pool: Optional[bool] = None  # None -> auto (TPU only)
-    # corner-table (VMEM-resident gather) cost volume: ~1.4x the patch-gather
-    # path on v5e (see stereo_cost_volume_expanded). None -> auto (TPU only).
+    # fused Pallas plane-sweep cost volume (r3 TPU default; see
+    # stereo_cost_volume_fused). None -> auto (TPU only).
+    use_fused_cost_volume: Optional[bool] = None
+    # corner-table (VMEM-resident gather) cost volume: the r2 path, kept as
+    # an explicit opt-in fallback. Only consulted when the fused kernel is
+    # disabled.
     use_table_cost_volume: Optional[bool] = None
     dtype: Any = jnp.float32
 
@@ -131,11 +136,15 @@ class LSSViewTransformer(nn.Module):
                     cams["post_tran"],
                     self.input_size,
                 )
+                use_fused = self.use_fused_cost_volume
+                if use_fused is None:
+                    use_fused = jax.default_backend() == "tpu"
                 use_table = self.use_table_cost_volume
                 if use_table is None:
                     use_table = jax.default_backend() == "tpu"
                 cv_fn = (
-                    stereo_cost_volume_expanded if use_table
+                    stereo_cost_volume_fused if use_fused
+                    else stereo_cost_volume_expanded if use_table
                     else stereo_cost_volume
                 )
                 cost_volume = cv_fn(

@@ -1,42 +1,45 @@
-"""Pallas plane-sweep cost-volume kernel (stereo depth warping).
+"""Fused Pallas plane-sweep cost volume (stereo depth warping), round 3.
 
-STATUS: experimental alternative to `models.depthnet.stereo_cost_volume`.
-Measured on one v5e chip at flagship scale: 507 ms f32 (1.45x the XLA
-gather path) but 461 ms bf16 (parity with the patch-gather XLA path), so
-the XLA path stays the default. The kernel trades gather descriptors for a
-dense one-hot contraction (~40 TFLOP of inflated matmul); beating the
-gather path needs either per-step DMA double-buffering + narrower windows
-or exploiting the 2-nonzero structure of the interpolation rows. (Note:
-narrower W tiles are not an option — Pallas requires lane-divisible block
-widths, and W-major retiling shifts the cost into the VPU stage.) Numerics:
-exact on in-window samples; ~2.7% of border/epipole samples fall outside
-the static window and render as zeros+bias (validated against the XLA
-oracle at realistic stereo geometry).
+Replaces both the XLA gather path (`models.depthnet.stereo_cost_volume*`,
+descriptor-rate-bound at ~235 ms/pair on v5e) and the round-2 experimental
+kernel (per-(tile,depth) window DMAs + full-window one-hot matmuls: 38 GB of
+window traffic and ~40 TFLOP of inflated contraction, 461 ms). Measured
+geometry at flagship scale (see docs/ROUND3_STATUS.md) shows why a much
+cheaper structure is exact enough:
 
-Approach (vs the XLA gather path of stereo_cost_volume):
-TPU gathers are descriptor-rate-bound (~60 M/s), and the plane sweep needs
-23.8 M bilinear samples per frame. This kernel exploits the warp's spatial
-coherence: within one (8, 128) output tile at a fixed depth plane, the
-source footprint of the homography is a small window (the per-depth
-translation is large but the within-tile Jacobian is ~identity), so each
-grid step
+  * the full 352-px source WIDTH fits one lane-padded window, so windows
+    only move in y — and a single (WH=48)-row band covers ALL 88 depth
+    planes of an output tile for almost every tile (mean ~1.0-1.5 window
+    loads per tile even at 7 m/frame ego motion);
+  * within one 8x128 output tile at one depth, the warp's x-footprint is
+    ~tile width (p99 < 200 px), so the one-hot x-contraction only needs a
+    dynamically-sliced SW=256 sub-window, not the whole row;
+  * within one output ROW the y-footprint spans <~3 px, so NY=4 window
+    rows combined with per-pixel tent weights reproduce exact bilinear
+    interpolation (tent weight max(0, 1-|y - row|) IS the bilinear weight
+    of the two adjacent rows and zero elsewhere);
+  * 4-21% of (tile, depth) planes warp fully out of the previous image —
+    those skip all compute via a prefetched row mask and write the exact
+    reference fallback sum_c|curr| + bias directly.
 
-  1. DMAs the source WINDOW (WW x WH x C) into VMEM (origin scalar-prefetched,
-     computed from per-tile coordinate minima on the XLA side),
-  2. builds soft one-hot interpolation matrices from the in-tile coordinates
-     (2 nonzeros per row = the bilinear weights; out-of-window coords match
-     no column and contribute 0, reproducing zeros padding), and
-  3. contracts them against the window on the MXU:
-        T1[p, (y c)] = ox[p, x] @ win[(x), (y c)]
-        interp[p, c] = sum_y oy[p, y] * T1[p, y, c]
-     then cost[p] = sum_c |curr[p, c] - interp[p, c]| (+ bias when the warp
-     sampled nothing, parity with `view_transformer.py:599-601`).
+Per (tile, depth) step the kernel runs 8 rows x NY=4 MXU contractions
+win[yrow, xs:xs+SW, :]^T @ onehot_x -> (C, TW): pixels ride the LANE dim and
+channels the sublane dim, so the final sum_c |curr - interp| reduction lands
+lane-major and writes straight to the output row — no per-row transposes.
+HBM traffic: one (48, Wp, C) window DMA per tile segment (~0.9 GB/pair vs
+24 GB of gather rows), plus coords and output.
 
-The source image is pre-transposed to (W, H, C) so the window DMA slices the
-un-tiled major axis with a free x-origin; the y-origin is rounded to the
-sublane tile and absorbed by window slack. No VJP: the reference computes
-the cost volume under torch.no_grad (`view_transformer.py:630-631`), and the
-callers stop gradients accordingly.
+Numerics: exact grid_sample(align_corners=True, zeros) semantics for
+samples whose corners fall inside the window/NY rows (out-of-image corners
+contribute zero through one-hot/tent mismatch, exactly like zeros padding);
+samples beyond the window (p99.9 tail of extreme warps) render as
+zeros+bias, same documented fallback class as round 2 and validated against
+the XLA oracle at realistic stereo geometry. No VJP: the reference computes
+the cost volume under torch.no_grad (`view_transformer.py:630-631`).
+
+Reference semantics: `mmdet3d/models/necks/view_transformer.py:576-604`
+(abs-diff over ALL channels, bias where the warp sampled nothing, caller
+softmaxes -cost over depth).
 """
 
 from __future__ import annotations
@@ -49,92 +52,163 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# output tile (TH, TW) over (H, W); window (WW, WH) over source (x, y)
-TH, TW = 8, 128
-WW, WH = 192, 32
+TH, TW = 8, 128  # output tile (rows, lane-width)
+NY = 4           # window rows combined per output row (tent-weighted)
 
 
 def _cv_kernel(
-    x0_ref,  # scalar prefetch (n_steps,) int32 window x origins
-    y0_ref,  # scalar prefetch (n_steps,) int32 window y origins (16-aligned)
-    prev_hbm,  # (BN, Wp, H, C) source features, W-major
-    xc_ref,  # (1, 1, TH, TW) pixel x coords of this tile
-    yc_ref,  # (1, 1, TH, TW)
-    curr_ref,  # (1, TH, TW, C) current-frame features
-    out_ref,  # (1, 1, TH, TW) cost tile
-    win,  # scratch VMEM (WW, WH, C)
-    acc,  # scratch VMEM (P, C) f32 interpolation accumulator
+    info_ref,   # scalar prefetch (n_steps,) int32 packed per-(tile,d) info
+    prev_hbm,   # (BN, H, Wp, C) source features (x lane-padded)
+    xc_ref,     # (1, 1, TH, TW) pixel x coords of this tile/depth
+    yc_ref,     # (1, 1, TH, TW)
+    curr_ref,   # (1, TH, C, TW) current-frame features, channel-sublane
+    out_ref,    # (1, 1, TH, TW) f32 cost tile
+    win,        # scratch VMEM (WH, Wp, C): y-band window
     sem,
     *,
-    D: int,
-    n_th: int,
-    n_tw: int,
-    bias: float,
+    D, n_th, n_tw, W, H, Wp, SW, WH, bias,
 ):
     bn = pl.program_id(0)
     th = pl.program_id(1)
     tw = pl.program_id(2)
     d = pl.program_id(3)
     step = ((bn * n_th + th) * n_tw + tw) * D + d
-    x0 = x0_ref[step]
-    y0 = pl.multiple_of(y0_ref[step], 16)
+    info = info_ref[step]
+    rowmask = info & 0xFF
+    new = (info >> 8) & 1
+    y0 = (info >> 9) & 0x7F
+    xs = pl.multiple_of((info >> 16) & 0x1F8, 8)
 
-    dma = pltpu.make_async_copy(
-        prev_hbm.at[bn, pl.ds(x0, WW), pl.ds(y0, WH), :], win, sem
-    )
-    dma.start()
+    @pl.when(new == 1)
+    def _():
+        cp = pltpu.make_async_copy(prev_hbm.at[bn, pl.ds(y0, WH)], win, sem)
+        cp.start()
+        cp.wait()
 
-    P = TH * TW
-    C = curr_ref.shape[-1]
-    # build the soft one-hots in (TH, TW, S) form, then merge the leading
-    # dims into sublanes — the reshape pattern Mosaic supports
-    xl = xc_ref[0, 0][:, :, None] - x0.astype(jnp.float32)  # (TH, TW, 1)
-    yl = yc_ref[0, 0][:, :, None] - y0.astype(jnp.float32)
-    xf = jnp.floor(xl)
-    yf = jnp.floor(yl)
-    fx = xl - xf
-    fy = yl - yf
+    for r in range(TH):
+        curr_r = curr_ref[0, r].astype(jnp.float32)  # (C, TW)
+        l1 = jnp.sum(jnp.abs(curr_r), axis=0, keepdims=True)  # (1, TW)
+        bit = (rowmask >> r) & 1
 
-    cols_x = jax.lax.broadcasted_iota(jnp.int32, (TH, TW, WW), 2).astype(
-        jnp.float32
-    )
-    cols_y = jax.lax.broadcasted_iota(jnp.int32, (TH, TW, WH), 2).astype(
-        jnp.float32
-    )
-    ox = ((cols_x == xf) * (1.0 - fx) + (cols_x == xf + 1.0) * fx).reshape(
-        P, WW
-    )
-    oy = ((cols_y == yf) * (1.0 - fy) + (cols_y == yf + 1.0) * fy).reshape(
-        P, WH
-    )
+        @pl.when(bit == 0)
+        def _(l1=l1, r=r):
+            # plane warps fully outside the previous image for this row:
+            # warp == zeros -> cost = sum_c|curr| + bias (exact reference)
+            out_ref[0, 0, r : r + 1, :] = l1 + bias
 
-    dma.wait()
-    # contract x on the MXU in y-chunks (inputs in the source dtype — bf16
-    # in the flagship — with f32 accumulation); bilinear y-weights applied
-    # as static lane slices, which measured cheaper than either a (P, YC, C)
-    # reshape or a single whole-window matmul
-    YC = 4
-    acc[:, :] = jnp.zeros((P, C), jnp.float32)
-    oxc = ox.astype(win.dtype)
-    for j in range(WH // YC):
-        tbl_j = win[:, j * YC : (j + 1) * YC, :].reshape(WW, YC * C)
-        t1 = jax.lax.dot_general(
-            oxc, tbl_j,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, YC*C)
-        upd = jnp.zeros((P, C), jnp.float32)
-        for k in range(YC):
-            w_k = jax.lax.slice_in_dim(oy, j * YC + k, j * YC + k + 1, axis=1)
-            upd = upd + t1[:, k * C : (k + 1) * C] * w_k
-        acc[:, :] += upd
-    interp = acc[:, :]
+        @pl.when(bit == 1)
+        def _(curr_r=curr_r, l1=l1, r=r):
+            xc = xc_ref[0, 0, r : r + 1, :]  # (1, TW) f32
+            yc = yc_ref[0, 0, r : r + 1, :]
+            validm = (xc > -1.0) & (xc < float(W)) & \
+                     (yc > -1.0) & (yc < float(H))
+            big = jnp.float32(1e9)
+            ymin = jnp.min(jnp.where(validm, yc, big))
+            y0r = jnp.clip(
+                jnp.floor(ymin).astype(jnp.int32) - y0, 0, WH - NY
+            )
+            xf = jnp.floor(xc)
+            fx = xc - xf
+            # int compare (Mosaic iota must be integer); clamp OOB sentinel
+            # coords (1e9) into int32 range — they match no window column
+            # either way, reproducing zeros padding
+            xrel = jnp.clip(xf, -3e4, 3e4).astype(jnp.int32) - xs  # (1, TW)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (SW, TW), 0)
+            oxT = (
+                (iota == xrel).astype(jnp.float32) * (1.0 - fx)
+                + (iota == xrel + 1).astype(jnp.float32) * fx
+            )
+            oxT = oxT.astype(win.dtype)  # (SW, TW) one-hot x weights
 
-    curr = curr_ref[0].astype(jnp.float32).reshape(P, C)
-    cost = jnp.abs(curr - interp).sum(axis=1, keepdims=True)  # (P, 1)
-    invalid = (interp[:, :1] == 0.0).astype(jnp.float32)
-    cost = cost + invalid * bias
-    out_ref[0, 0] = cost.reshape(TH, TW)
+            acc = jnp.zeros((curr_r.shape[0], TW), jnp.float32)
+            for yy in range(NY):
+                ridx = y0r + yy
+                Ay = win[ridx, pl.ds(xs, SW), :]  # (SW, C)
+                row_abs = (y0 + ridx).astype(jnp.float32)
+                # tent = exact bilinear y-weight of the two adjacent rows
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - row_abs))
+                t1 = jax.lax.dot_general(
+                    Ay, oxT,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, TW)
+                acc = acc + t1 * wy
+            invalid = (acc[0:1, :] == 0.0).astype(jnp.float32)
+            cost = jnp.sum(jnp.abs(curr_r - acc), axis=0, keepdims=True)
+            out_ref[0, 0, r : r + 1, :] = cost + invalid * bias
+
+
+def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
+    """Per-(bn, tile, d) int32: rowmask(8) | new(1) | window y0(7) | xs(9).
+
+    y segments are grown greedily over consecutive depth planes; `new`
+    marks planes where the kernel must re-DMA the window band.
+    """
+    BN = gx.shape[0]
+    big = jnp.float32(1e6)
+    xt = gx.reshape(BN, D, n_th, TH, n_tw, TW)
+    yt = gy.reshape(BN, D, n_th, TH, n_tw, TW)
+    vt = valid.reshape(BN, D, n_th, TH, n_tw, TW)
+
+    xv = jnp.where(vt, xt, big)
+    yv = jnp.where(vt, yt, big)
+    yvmax = jnp.where(vt, yt, -big)
+
+    xmin = jnp.floor(xv.min(axis=(3, 5)))          # (BN, D, n_th, n_tw)
+    ymin = jnp.floor(yv.min(axis=(3, 5)))
+    ymax = jnp.floor(yvmax.max(axis=(3, 5)))
+    valid_d = vt.any(axis=(3, 5))
+    row_any = vt.any(axis=5)                        # (BN, D, n_th, TH, n_tw)
+    bits = (2 ** np.arange(TH)).astype(np.int32)
+    rowmask = (row_any.astype(jnp.int32)
+               * bits[None, None, None, :, None]).sum(axis=3)
+
+    # 8-aligned: Mosaic requires provably sublane-aligned dynamic offsets
+    # for the in-kernel window slice (costs <=7 px of SW slack)
+    xs = jnp.clip(xmin.astype(jnp.int32) & ~7, 0, Wp - SW)
+    xs = jnp.where(valid_d, xs, 0)
+    lo_d = jnp.clip(ymin.astype(jnp.int32), 0, H)       # first needed row
+    hi_d = jnp.clip(ymax.astype(jnp.int32) + 2, 0, H)   # past-last needed
+
+    T = BN * n_th * n_tw
+    BIG = jnp.int32(10**6)
+
+    def scan_fn(carry, inp):
+        have, seg_y0, lo, hi = carry
+        v, ld, hd, first = inp
+        nlo = jnp.minimum(lo, ld)
+        nhi = jnp.maximum(hi, hd)
+        fits = have & (nlo >= seg_y0) & (nhi <= seg_y0 + WH)
+        start = v & ~fits
+        new = first | start
+        seg_y0 = jnp.where(start, jnp.clip(ld, 0, H - WH), seg_y0)
+        have = have | start
+        lo = jnp.where(start, ld, jnp.where(v, nlo, lo))
+        hi = jnp.where(start, hd, jnp.where(v, nhi, hi))
+        return (have, seg_y0, lo, hi), (seg_y0, new.astype(jnp.int32))
+
+    first = jnp.zeros((D,), bool).at[0].set(True)
+    init = (
+        jnp.zeros((T,), bool),
+        jnp.zeros((T,), jnp.int32),
+        jnp.full((T,), BIG),
+        jnp.full((T,), -BIG),
+    )
+    perm = lambda a: a.transpose(1, 0, 2, 3).reshape(D, T)
+    _, (seg_y0, new) = jax.lax.scan(
+        scan_fn, init,
+        (perm(valid_d), perm(lo_d), perm(hi_d),
+         jnp.broadcast_to(first[:, None], (D, T))),
+    )
+    # -> (BN, n_th, n_tw, D) step order
+    unperm = lambda a: a.reshape(D, BN, n_th, n_tw).transpose(1, 2, 3, 0)
+    info = (
+        rowmask.transpose(0, 2, 3, 1)
+        | (unperm(new) << 8)
+        | (unperm(seg_y0) << 9)
+        | (xs.transpose(0, 2, 3, 1) << 16)
+    )
+    return info.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "interpret"))
@@ -145,66 +219,49 @@ def plane_sweep_cost(
     bias: float = 0.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas counterpart of `stereo_cost_volume` (pre-softmax cost).
+    """Fused counterpart of `stereo_cost_volume` (pre-softmax cost).
 
     Args:
       prev_feat, curr_feat: (BN, H, W, C) stereo features.
       grid: (BN, D*H, W, 2) normalized sampling coords (gen_stereo_grid).
-      bias: added where the warp sampled outside the previous image.
+      bias: added where the warp lands outside the previous image.
     Returns:
       (BN, D, H, W) float32 cost (caller applies softmax(-cost) over D).
     """
     BN, H, W, C = prev_feat.shape
     D = grid.shape[1] // H
-    Wp = ((W + TW - 1) // TW) * TW
+    assert H % TH == 0, (H, TH)
+    Wp = max(-(-W // TW) * TW, 256)
+    SW = min(256, Wp)
+    WH = min(48, H)
     n_th, n_tw = H // TH, Wp // TW
 
-    # pixel coords (align_corners=True convention, grid_sample parity)
     gx = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     gy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
-    gx = gx.reshape(BN, D, H, W)
-    gy = gy.reshape(BN, D, H, W)
+    gx = gx.reshape(BN, D, H, W).astype(jnp.float32)
+    gy = gy.reshape(BN, D, H, W).astype(jnp.float32)
+    valid = (gx > -1.0) & (gx < W) & (gy > -1.0) & (gy < H)
     pad_w = Wp - W
     if pad_w:
-        # padded columns: huge positive coords match nothing and keep the
-        # per-tile min (window origin) driven by the real samples
-        gx = jnp.pad(gx, ((0, 0),) * 3 + ((0, pad_w),), constant_values=1e9)
-        gy = jnp.pad(gy, ((0, 0),) * 3 + ((0, pad_w),), constant_values=1e9)
-        curr_feat = jnp.pad(curr_feat, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+        pads = ((0, 0),) * 3 + ((0, pad_w),)
+        gx = jnp.pad(gx, pads, constant_values=1e9)
+        gy = jnp.pad(gy, pads, constant_values=1e9)
+        valid = jnp.pad(valid, pads)
 
-    # per-(bn, th, tw, d) window origins from tile minima; the window must
-    # cover [min, min + span]: x free origin, y rounded down to the sublane
-    # tile (slack absorbed by WH)
-    tx = gx.reshape(BN, D, n_th, TH, n_tw, TW)
-    ty = gy.reshape(BN, D, n_th, TH, n_tw, TW)
-    # anchor windows on IN-IMAGE samples only: a tile mixing far-out points
-    # (which render as zeros anyway) with in-image ones must not drag the
-    # window away from the real data
-    in_img = (tx > -1.0) & (tx < W) & (ty > -1.0) & (ty < H)
-    big = jnp.float32(1e9)
-    xmin = jnp.floor(jnp.where(in_img, tx, big).min(axis=(3, 5))) - 1.0
-    ymin = jnp.floor(jnp.where(in_img, ty, big).min(axis=(3, 5))) - 1.0
-    x0 = jnp.clip(xmin, 0, max(W - WW, 0)).astype(jnp.int32)
-    y0 = jnp.clip(ymin, 0, max(H - WH, 0)).astype(jnp.int32)
-    y0 = (y0 // 16) * 16
-    # step order (bn, th, tw, d)
-    x0 = x0.transpose(0, 2, 3, 1).reshape(-1)
-    y0 = y0.transpose(0, 2, 3, 1).reshape(-1)
+    info = _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH)
 
-    # W-major source table; pad so any clipped window fits
-    prev_t = prev_feat.transpose(0, 2, 1, 3)  # (BN, W, H, C)
-    if W < WW:
-        prev_t = jnp.pad(prev_t, ((0, 0), (0, WW - W), (0, 0), (0, 0)))
-    if H < WH:
-        prev_t = jnp.pad(prev_t, ((0, 0), (0, 0), (0, WH - H), (0, 0)))
+    prev_p = jnp.pad(prev_feat, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+    curr_t = jnp.transpose(curr_feat, (0, 1, 3, 2))  # (BN, H, C, W)
+    curr_t = jnp.pad(curr_t, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
 
     kernel = functools.partial(
-        _cv_kernel, D=D, n_th=n_th, n_tw=n_tw, bias=float(bias)
+        _cv_kernel, D=D, n_th=n_th, n_tw=n_tw, W=W, H=H, Wp=Wp,
+        SW=SW, WH=WH, bias=float(bias),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(BN, n_th, n_tw, D),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -219,8 +276,8 @@ def plane_sweep_cost(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, TH, TW, C),
-                    lambda bn, th, tw, d, *_: (bn, th, tw, 0),
+                    (1, TH, C, TW),
+                    lambda bn, th, tw, d, *_: (bn, th, 0, tw),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -230,15 +287,14 @@ def plane_sweep_cost(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((WW, WH, C), prev_feat.dtype),
-                pltpu.VMEM((TH * TW, C), jnp.float32),
+                pltpu.VMEM((WH, Wp, C), prev_feat.dtype),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((BN, D, H, Wp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x0, y0, prev_t, gx, gy, curr_feat)
+    )(info, prev_p, gx, gy, curr_t)
     return out[..., :W]

@@ -581,3 +581,93 @@ class TestPlaneSweepKernel:
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(ref), atol=1e-4
         )
+
+    def test_matches_xla_on_realistic_geometry(self):
+        """Full gen_stereo_grid geometry (ego motion + yaw) at reduced scale.
+
+        The kernel's documented fallback renders samples beyond its window
+        as zeros+bias, so we assert exactness on ~all entries rather than
+        all: the tail must stay tiny at realistic geometry.
+        """
+        from preworld_tpu.data.synthetic import camera_rig
+        from preworld_tpu.models.depthnet import (
+            gen_stereo_grid,
+            stereo_cost_volume,
+        )
+        from preworld_tpu.ops.cost_volume_pallas import plane_sweep_cost
+        from preworld_tpu.geometry.frustum import GridConfig, create_frustum
+        import flax.linen as nn
+
+        rng = np.random.default_rng(7)
+        input_size = (128, 352)
+        N, C, cv_down = 3, 128, 4
+        H, W = input_size[0] // cv_down, input_size[1] // cv_down
+        grid_cfg = GridConfig(
+            x=(-40.0, 40.0, 0.4), y=(-40.0, 40.0, 0.4), z=(-1.0, 5.4, 6.4),
+            depth=(1.0, 23.0, 1.0),
+        )
+        frustum = jnp.asarray(create_frustum(grid_cfg, input_size, cv_down))
+        D = frustum.shape[0]
+
+        rig = camera_rig(N, input_size, rng)
+        # prev ego pose: 1.2 m forward + 4 deg yaw between frames
+        yaw = np.deg2rad(4.0)
+        adj = np.eye(4, dtype=np.float32)
+        adj[:2, :2] = [[np.cos(yaw), -np.sin(yaw)],
+                       [np.sin(yaw), np.cos(yaw)]]
+        adj[0, 3] = 1.2
+        s2e = rig["sensor2ego"]
+        k2s = np.stack(
+            [np.linalg.inv(s2e[n]) @ np.linalg.inv(adj) @ s2e[n]
+             for n in range(N)]
+        ).astype(np.float32)
+
+        grid_w = gen_stereo_grid(
+            frustum,
+            jnp.asarray(k2s)[None],
+            jnp.asarray(rig["intrin"])[None],
+            jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32),
+                                        (N, 3, 3))).reshape(1, N, 3, 3),
+            jnp.zeros((1, N, 3)),
+            input_size,
+        )
+        prev = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+
+        ours = nn.softmax(
+            -plane_sweep_cost(prev, curr, grid_w, bias=5.0, interpret=True),
+            axis=1,
+        )
+        ref = stereo_cost_volume(prev, curr, grid_w, bias=5.0, depth_chunk=1)
+        ours, ref = np.asarray(ours), np.asarray(ref)
+        mism = np.abs(ours - ref) > 1e-4
+        assert mism.mean() < 2e-3, mism.mean()
+
+    def test_window_resegmentation(self):
+        """Per-depth y drift large enough to force multiple window DMAs."""
+        from preworld_tpu.models.depthnet import stereo_cost_volume
+        from preworld_tpu.ops.cost_volume_pallas import plane_sweep_cost
+        import flax.linen as nn
+
+        rng = np.random.default_rng(1)
+        BN, H, W, C, D = 1, 64, 128, 32, 8
+        prev = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        gx = np.zeros((BN, D, H, W), np.float32)
+        gy = np.zeros((BN, D, H, W), np.float32)
+        for d in range(D):
+            # y shift sweeps 0..56 rows across depth: exceeds the WH=48
+            # window band repeatedly -> several segments per tile
+            gx[:, d] = (xs + 0.3 * d) / (W - 1) * 2 - 1
+            gy[:, d] = (ys + 8.0 * d + 0.25) / (H - 1) * 2 - 1
+        grid = jnp.asarray(np.stack([gx, gy], -1).reshape(BN, D * H, W, 2))
+
+        ours = nn.softmax(
+            -plane_sweep_cost(prev, curr, grid, bias=5.0, interpret=True),
+            axis=1,
+        )
+        ref = stereo_cost_volume(prev, curr, grid, bias=5.0, depth_chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=1e-4
+        )

@@ -63,9 +63,12 @@ def bench_cost_volume():
         np.stack([gx, gy], -1).reshape(BN, D * H, W, 2), dtype=dt
     )
 
+    from preworld_tpu.models.depthnet import stereo_cost_volume_fused
+
     for name, fn in [
         ("xla_patch", stereo_cost_volume),
         ("corner_table", stereo_cost_volume_expanded),
+        ("fused_pallas", stereo_cost_volume_fused),
     ]:
         f = jax.jit(lambda p, c, g, fn=fn: fn(p, c, g, 5.0))
         t = timeit(f, prev, curr, grid, readback=lambda o: o[0, 0, 0, 0])
