@@ -16,7 +16,7 @@ from typing import Callable, Dict, Iterable, Optional, Sequence
 import jax
 import numpy as np
 
-from ..metrics import MetricMIoU
+from ..metrics import MetricMIoU, MetricMIoUTemporal
 from ..parallel import shard_batch
 from .train_state import eval_params
 
@@ -122,4 +122,58 @@ def evaluate_miou(
                 )
         seen += n_valid
     metric.hist = all_hosts_sum(metric.hist)
+    return metric.count_miou()
+
+
+def evaluate_miou_temporal(
+    model,
+    state,
+    samples: Iterable[Dict[str, np.ndarray]],
+    mesh,
+    rollout_steps: Sequence[int] = (0, 1, 3, 5),
+    num_classes: int = 18,
+    batch_size: Optional[int] = None,
+    predict_fn: Optional[Callable] = None,
+) -> Dict:
+    """Batched + data-axis-sharded 4-D forecasting eval (reference serial
+    loop: `mmdet3d/apis/test.py:198-259`; r2 ran batch-1 serial here too —
+    VERDICT r2 next #6).
+
+    `samples` are THIS PROCESS's samples; each dict carries INFER_KEYS plus
+    per-horizon GT under `gt_h{0..3}` (horizon h <-> rollout step
+    rollout_steps[h] <-> output key `semantic_occ_{step}s`).
+    """
+    batch_size = batch_size or max(
+        1, mesh.shape["data"] // jax.process_count()
+    )
+    params = eval_params(state)
+
+    if predict_fn is None:
+        @jax.jit
+        def predict_fn(params, batch_stats, b):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, b, train=False
+            )
+
+    metric = MetricMIoUTemporal(num_classes=num_classes)
+    for batch, n_valid in _batched(samples, batch_size):
+        infer = shard_batch(
+            mesh, {k: v for k, v in batch.items() if k in INFER_KEYS}
+        )
+        out = predict_fn(params, state.batch_stats, infer)
+        preds = {
+            h: _local_rows(out[f"semantic_occ_{s}s"])
+            for h, s in zip(MetricMIoUTemporal.HORIZONS, rollout_steps)
+        }
+        for j in range(n_valid):
+            metric.add_batch(
+                {h: p[j] for h, p in preds.items()},
+                {h: batch[f"gt_h{h}"][j]
+                 for h in MetricMIoUTemporal.HORIZONS
+                 if f"gt_h{h}" in batch},
+            )
+    for h in metric.hists:
+        metric.hists[h] = all_hosts_sum(metric.hists[h])
+    metric.cnt = int(all_hosts_sum(np.asarray([metric.cnt]))[0]) \
+        if jax.process_count() > 1 else metric.cnt
     return metric.count_miou()

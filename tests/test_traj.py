@@ -95,3 +95,55 @@ class TestTrajModel:
                      "ego_fusion_head", "downscale"):
             g = jax.tree_util.tree_leaves(grads[head])
             assert any(float(jnp.abs(x).max()) > 0 for x in g), head
+
+
+class TestBatchedTemporalEval:
+    def test_batched_sharded_matches_serial(self, traj_setup):
+        """evaluate_miou_temporal (batched over the 8-device mesh, padded
+        last batch) must produce IDENTICAL mIoU to the serial batch-1 loop
+        it replaced (VERDICT r2 next #6). Reference serial loop:
+        mmdet3d/apis/test.py:198-259."""
+        from preworld_tpu.metrics import MetricMIoUTemporal
+        from preworld_tpu.parallel import make_mesh
+        from preworld_tpu.train.evaluate import INFER_KEYS, evaluate_miou_temporal
+
+        cfg, model, _, state = traj_setup
+        steps = (0, 1, 3, 5)
+        n = 3  # < 8 devices -> exercises the padded final batch
+
+        def make_sample(i):
+            s = synthetic_batch(cfg, 1, 128, seed=100 + i, with_traj=True)
+            out = {k: v[0] for k, v in s.items()}
+            for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
+                out[f"gt_h{h}"] = (
+                    s["temporal_semantics"][0, f - 1] if f > 0
+                    else s["voxel_semantics"][0]
+                )
+            return out
+
+        samples = [make_sample(i) for i in range(n)]
+
+        # serial reference
+        metric = MetricMIoUTemporal(num_classes=cfg.num_classes)
+        for s in samples:
+            infer = {
+                k: jnp.asarray(v[None]) for k, v in s.items()
+                if k in INFER_KEYS
+            }
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                infer, train=False,
+            )
+            metric.add_batch(
+                {h: np.asarray(out[f"semantic_occ_{k}s"][0])
+                 for h, k in zip((0, 1, 2, 3), steps)},
+                {h: s[f"gt_h{h}"] for h in (0, 1, 2, 3)},
+            )
+        serial = metric.count_miou()
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_seq=1)
+        batched = evaluate_miou_temporal(
+            model, state, iter(samples), mesh, rollout_steps=steps,
+            num_classes=cfg.num_classes,
+        )
+        assert batched == serial, (batched, serial)

@@ -48,26 +48,32 @@ def main():
     from preworld_tpu.utils import Config
     from preworld_tpu.train.builder import build_model
     from preworld_tpu.models.preworld_traj import PreWorld4DTraj
-    from preworld_tpu.train import create_train_state, eval_params, make_optimizer
+    from preworld_tpu.parallel import make_mesh
+    from preworld_tpu.train import create_train_state, make_optimizer
+    from preworld_tpu.train.evaluate import evaluate_miou_temporal
     from preworld_tpu.train.loop import maybe_resume
-    from preworld_tpu.metrics import MetricMIoUTemporal
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     base = build_model(cfg)
     model = PreWorld4DTraj(base.cfg)
 
+    rank, world = jax.process_index(), jax.process_count()
+
     if args.synthetic:
         from preworld_tpu.data.synthetic import synthetic_batch
 
         n = args.num_samples or 2
+
         def sample_iter():
-            for i in range(n):
+            for i in range(rank, n, world):
                 s = synthetic_batch(base.cfg, 1, 256, seed=i, with_traj=True)
-                yield s, {
-                    h: s["temporal_semantics"][0, f - 1] if f > 0
-                    else s["voxel_semantics"][0]
-                    for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6))
-                }
+                out = {k: v[0] for k, v in s.items()}
+                for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
+                    out[f"gt_h{h}"] = (
+                        s["temporal_semantics"][0, f - 1] if f > 0
+                        else s["voxel_semantics"][0]
+                    )
+                yield out
         samples = sample_iter()
     else:
         from preworld_tpu.data.nuscenes_traj import NuScenesOccTrajDataset
@@ -86,59 +92,39 @@ def main():
         n = args.num_samples or len(dataset)
 
         def sample_iter():
-            for i in range(n):
-                s = {k: v[None] for k, v in dataset[i].items()}
-                index = dataset.temp2nusc_map[i]
-                from preworld_tpu.data.pipeline import load_occ_gt
+            from preworld_tpu.data.pipeline import load_occ_gt
 
-                gts = {}
+            for i in range(rank, n, world):
+                s = dict(dataset[i])
+                index = dataset.temp2nusc_map[i]
                 for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
                     finfo = dataset.infos[
                         min(index + f, len(dataset.infos) - 1)
                     ]
-                    gts[h] = load_occ_gt(dataset._data_path(finfo["occ_path"]))[
-                        "voxel_semantics"
-                    ]
-                yield s, gts
+                    s[f"gt_h{h}"] = load_occ_gt(
+                        dataset._data_path(finfo["occ_path"])
+                    )["voxel_semantics"]
+                yield s
         samples = sample_iter()
 
     tx = make_optimizer()
-    metric = MetricMIoUTemporal(num_classes=18)
-    state = None
-    predict_jit = None
+    mesh = make_mesh(n_data=len(jax.devices()), n_seq=1)
 
-    for sample, gts in samples:
-        batch = {
-            k: jnp.asarray(v) for k, v in sample.items()
-            if not k.startswith("__")
-        }
-        infer = {
-            k: v for k, v in batch.items()
-            if k in ("imgs", "sensor2egos", "ego2globals", "intrins",
-                     "post_rots", "post_trans", "bda", "ego_states")
-        }
-        if state is None:
-            state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
-            if args.checkpoint:
-                state, resumed = maybe_resume(state, args.checkpoint)
-                logging.info("checkpoint restored: %s", resumed)
+    from preworld_tpu.data.synthetic import synthetic_batch as _sb
 
-            @jax.jit
-            def predict_jit(params, batch_stats, b):
-                return model.apply(
-                    {"params": params, "batch_stats": batch_stats}, b,
-                    train=False,
-                )
+    init_batch = {
+        k: jnp.asarray(v)
+        for k, v in _sb(base.cfg, 1, 256, with_traj=True).items()
+    }
+    state = create_train_state(model, init_batch, tx, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        state, resumed = maybe_resume(state, args.checkpoint)
+        logging.info("checkpoint restored: %s", resumed)
 
-        out = predict_jit(eval_params(state), state.batch_stats, infer)
-        steps = (0, 1, 3, 5) if args.protocol == "reference" else (0, 2, 4, 6)
-        preds = {
-            h: np.asarray(out[f"semantic_occ_{f}s"][0])
-            for h, f in zip((0, 1, 2, 3), steps)
-        }
-        metric.add_batch(preds, gts)
-
-    print(metric.count_miou())
+    steps = (0, 1, 3, 5) if args.protocol == "reference" else (0, 2, 4, 6)
+    print(evaluate_miou_temporal(
+        model, state, samples, mesh, rollout_steps=steps, num_classes=18,
+    ))
 
 
 if __name__ == "__main__":
