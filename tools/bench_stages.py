@@ -35,7 +35,9 @@ def timeit(fn, variables, batch, n=3):
     return min(ts)
 
 
-def main():
+def make_probes():
+    """Build (variables, batch, [(name, fn(variables, batch))]) for the
+    cumulative-truncation probes; shared with bench_bytes.py."""
     from preworld_tpu.data import synthetic_batch
     from preworld_tpu.models import PreWorld, PreWorldConfig
     from preworld_tpu.geometry.transforms import (
@@ -130,9 +132,18 @@ def main():
         ("full_predict",
          lambda m, b: m.predict(b)["semantic_occ"].sum().astype(jnp.float32)),
     ]
+    probes = [
+        (name, lambda v, b, fn=fn: model.apply(v, b, method=fn))
+        for name, fn in probes
+    ]
+    return variables, batch, probes
+
+
+def main():
+    variables, batch, probes = make_probes()
     prev = 0.0
     for name, fn in probes:
-        f = jax.jit(lambda v, b, fn=fn: model.apply(v, b, method=fn))
+        f = jax.jit(fn)
         t = timeit(f, variables, batch)
         print(json.dumps({"probe": name, "ms": round(t * 1e3, 1),
                           "delta_ms": round((t - prev) * 1e3, 1)}), flush=True)
