@@ -7,11 +7,14 @@ Counterpart of the reference `tools/create_data_bevdet.py` +
 calibration/pose/path records, annotation infos, scene tokens and the
 Occ3D `occ_path`.
 
-Requires the `nuscenes-devkit` package (not bundled in this image); the
-script degrades to a clear error message when it is missing.
+Runs devkit-free by default: the raw nuScenes layout is a set of JSON
+tables (`{root}/{version}/*.json`) that `SimpleNusc` joins directly — the
+devkit is only consulted (when importable) for the canonical train/val
+scene-name splits; otherwise pass --train-scenes/--val-scenes.
 """
 
 import argparse
+import json
 import os
 import pickle
 import sys
@@ -20,6 +23,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+
+class SimpleNusc:
+    """Minimal devkit-free reader over the raw nuScenes JSON tables."""
+
+    TABLES = (
+        "scene", "sample", "sample_data", "calibrated_sensor", "ego_pose",
+        "sensor", "sample_annotation",
+    )
+
+    def __init__(self, version: str, root: str):
+        self._t = {}
+        for name in self.TABLES:
+            path = os.path.join(root, version, f"{name}.json")
+            with open(path) as f:
+                rows = json.load(f)
+            self._t[name] = {r["token"]: r for r in rows}
+        self.sample = list(self._t["sample"].values())
+        # key-frame sample_data per (sample, channel) — the devkit's
+        # sample['data'] map rebuilt from sample_data rows
+        for s in self.sample:
+            s.setdefault("data", {})
+            s.setdefault("anns", [])
+        sensors = self._t["sensor"]
+        for sd in self._t["sample_data"].values():
+            if not sd.get("is_key_frame", True):
+                continue
+            cs = self._t["calibrated_sensor"][sd["calibrated_sensor_token"]]
+            channel = sensors[cs["sensor_token"]]["channel"]
+            self._t["sample"][sd["sample_token"]]["data"][channel] = sd["token"]
+        for ann in self._t["sample_annotation"].values():
+            self._t["sample"][ann["sample_token"]]["anns"].append(ann["token"])
+
+    def get(self, table: str, token: str):
+        return self._t[table][token]
+
 CAM_NAMES = [
     "CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
     "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT",
@@ -27,8 +65,6 @@ CAM_NAMES = [
 
 
 def build_infos(nusc, scenes, root_path: str, occ_gt_root: str):
-    from nuscenes.utils import splits  # noqa: F401
-
     infos = []
     for sample in nusc.sample:
         scene = nusc.get("scene", sample["scene_token"])
@@ -45,6 +81,9 @@ def build_infos(nusc, scenes, root_path: str, occ_gt_root: str):
             "frame_idx": sample["token"],  # filled below
             "timestamp": sample["timestamp"],
             "lidar_path": sd["filename"],
+            # lidar sample_data token: names the default lidarseg label file
+            # (tools/gen_seg_gt.py reads {seg_root}/{lidar_token}_lidarseg.bin)
+            "lidar_token": lidar_token,
             "lidar2ego_rotation": cs["rotation"],
             "lidar2ego_translation": cs["translation"],
             "ego2global_rotation": pose["rotation"],
@@ -90,22 +129,30 @@ def main():
     p.add_argument("--version", default="v1.0-trainval")
     p.add_argument("--occ-gt-root", default="data/nuscenes/gts")
     p.add_argument("--out-prefix", default="bevdetv2")
+    p.add_argument("--train-scenes", default=None,
+                   help="comma-separated scene names (devkit-free splits)")
+    p.add_argument("--val-scenes", default=None)
     args = p.parse_args()
 
-    try:
-        from nuscenes.nuscenes import NuScenes
-        from nuscenes.utils import splits
-    except ImportError:
-        sys.exit(
-            "nuscenes-devkit is required for offline info generation "
-            "(pip install nuscenes-devkit on a machine with the dataset)."
-        )
-
-    nusc = NuScenes(args.version, args.root_path)
-    if args.version == "v1.0-mini":
-        split_map = {"train": splits.mini_train, "val": splits.mini_val}
+    nusc = SimpleNusc(args.version, args.root_path)
+    if args.train_scenes is not None or args.val_scenes is not None:
+        split_map = {
+            "train": (args.train_scenes or "").split(","),
+            "val": (args.val_scenes or "").split(","),
+        }
+        split_map = {k: [s for s in v if s] for k, v in split_map.items()}
     else:
-        split_map = {"train": splits.train, "val": splits.val}
+        try:
+            from nuscenes.utils import splits
+        except ImportError:
+            sys.exit(
+                "no --train-scenes/--val-scenes given and nuscenes-devkit "
+                "(for the canonical split lists) is not installed"
+            )
+        if args.version == "v1.0-mini":
+            split_map = {"train": splits.mini_train, "val": splits.mini_val}
+        else:
+            split_map = {"train": splits.train, "val": splits.val}
     for split, scenes in split_map.items():
         infos = build_infos(nusc, set(scenes), args.root_path, args.occ_gt_root)
         out = os.path.join(
