@@ -58,92 +58,120 @@ NY = 4           # window rows combined per output row (tent-weighted)
 
 def _cv_kernel(
     info_ref,   # scalar prefetch (n_steps,) int32 packed per-(tile,d) info
+    xs16_ref,   # scalar prefetch (n_steps,) int32: 8 x 4-bit row x-starts/16
+    y0d_ref,    # scalar prefetch (n_steps,) int32: 8 x 4-bit row y deltas
     prev_hbm,   # (BN, H, Wp, C) source features (x lane-padded)
-    xc_ref,     # (1, 1, TH, TW) pixel x coords of this tile/depth
-    yc_ref,     # (1, 1, TH, TW)
+    xc_ref,     # (1, D, TH, TW) pixel x coords of this tile, all depths
+    yc_ref,     # (1, D, TH, TW)
     curr_ref,   # (1, TH, C, TW) current-frame features, channel-sublane
-    out_ref,    # (1, 1, TH, TW) f32 cost tile
+    out_ref,    # (1, D, TH, TW) f32 cost tile, all depths
     win,        # scratch VMEM (WH, Wp, C): y-band window
     sem,
     *,
     D, n_th, n_tw, W, H, Wp, SW, WH, bias,
 ):
+    # one grid step per output TILE with an in-kernel loop over all D
+    # depth planes: per-step pipeline overhead at (tile, depth) grain
+    # measured ~4.5 us/step x 25k steps — the depth loop amortizes it 88x
     bn = pl.program_id(0)
     th = pl.program_id(1)
     tw = pl.program_id(2)
-    d = pl.program_id(3)
-    step = ((bn * n_th + th) * n_tw + tw) * D + d
-    info = info_ref[step]
-    rowmask = info & 0xFF
-    new = (info >> 8) & 1
-    y0 = (info >> 9) & 0x7F
-    xs = pl.multiple_of((info >> 16) & 0x1F8, 8)
+    base = ((bn * n_th + th) * n_tw + tw) * D
 
-    @pl.when(new == 1)
-    def _():
-        cp = pltpu.make_async_copy(prev_hbm.at[bn, pl.ds(y0, WH)], win, sem)
-        cp.start()
-        cp.wait()
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (SW, TW), 0).astype(
+        jnp.float32
+    )
+    # depth-invariant per-row values, hoisted out of the depth loop
+    curr_rows = [curr_ref[0, r].astype(jnp.float32) for r in range(TH)]
+    l1_rows = [
+        jnp.sum(jnp.abs(c), axis=0, keepdims=True) for c in curr_rows
+    ]
 
-    for r in range(TH):
-        curr_r = curr_ref[0, r].astype(jnp.float32)  # (C, TW)
-        l1 = jnp.sum(jnp.abs(curr_r), axis=0, keepdims=True)  # (1, TW)
-        bit = (rowmask >> r) & 1
+    def one_depth(d, _):
+        info = info_ref[base + d]
+        xs16 = xs16_ref[base + d]
+        y0d = y0d_ref[base + d]
+        rowmask = info & 0xFF
+        new = (info >> 8) & 1
+        y0 = (info >> 9) & 0x7F
+        y0r_base = (info >> 16) & 0x3F
 
-        @pl.when(bit == 0)
-        def _(l1=l1, r=r):
-            # plane warps fully outside the previous image for this row:
-            # warp == zeros -> cost = sum_c|curr| + bias (exact reference)
-            out_ref[0, 0, r : r + 1, :] = l1 + bias
-
-        @pl.when(bit == 1)
-        def _(curr_r=curr_r, l1=l1, r=r):
-            xc = xc_ref[0, 0, r : r + 1, :]  # (1, TW) f32
-            yc = yc_ref[0, 0, r : r + 1, :]
-            validm = (xc > -1.0) & (xc < float(W)) & \
-                     (yc > -1.0) & (yc < float(H))
-            big = jnp.float32(1e9)
-            ymin = jnp.min(jnp.where(validm, yc, big))
-            y0r = jnp.clip(
-                jnp.floor(ymin).astype(jnp.int32) - y0, 0, WH - NY
+        @pl.when(new == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                prev_hbm.at[bn, pl.ds(y0, WH)], win, sem
             )
-            xf = jnp.floor(xc)
-            fx = xc - xf
-            # int compare (Mosaic iota must be integer); clamp OOB sentinel
-            # coords (1e9) into int32 range — they match no window column
-            # either way, reproducing zeros padding
-            xrel = jnp.clip(xf, -3e4, 3e4).astype(jnp.int32) - xs  # (1, TW)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (SW, TW), 0)
-            oxT = (
-                (iota == xrel).astype(jnp.float32) * (1.0 - fx)
-                + (iota == xrel + 1).astype(jnp.float32) * fx
-            )
-            oxT = oxT.astype(win.dtype)  # (SW, TW) one-hot x weights
+            cp.start()
+            cp.wait()
 
-            acc = jnp.zeros((curr_r.shape[0], TW), jnp.float32)
-            for yy in range(NY):
-                ridx = y0r + yy
-                Ay = win[ridx, pl.ds(xs, SW), :]  # (SW, C)
-                row_abs = (y0 + ridx).astype(jnp.float32)
-                # tent = exact bilinear y-weight of the two adjacent rows
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - row_abs))
-                t1 = jax.lax.dot_general(
-                    Ay, oxT,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (C, TW)
-                acc = acc + t1 * wy
-            invalid = (acc[0:1, :] == 0.0).astype(jnp.float32)
-            cost = jnp.sum(jnp.abs(curr_r - acc), axis=0, keepdims=True)
-            out_ref[0, 0, r : r + 1, :] = cost + invalid * bias
+        for r in range(TH):
+            bit = (rowmask >> r) & 1
+
+            @pl.when(bit == 0)
+            def _(r=r):
+                # plane warps fully outside the previous image for this
+                # row: warp == zeros -> cost = sum_c|curr| + bias (exact
+                # reference fallback)
+                out_ref[0, d, r : r + 1, :] = l1_rows[r] + bias
+
+            @pl.when(bit == 1)
+            def _(r=r):
+                curr_r = curr_rows[r]  # (C, TW) f32
+                xc = xc_ref[0, d, r : r + 1, :]  # (1, TW) f32
+                yc = yc_ref[0, d, r : r + 1, :]
+                # per-row window starts come prefetched (in-kernel
+                # vector->scalar min reductions cost ~30 ms/pair)
+                y0r = jnp.clip(
+                    y0r_base + ((y0d >> (4 * r)) & 0xF), 0, WH - NY
+                )
+                xs_row = ((xs16 >> (4 * r)) & 0xF) * 16
+                xs_row = pl.multiple_of(xs_row, 16)
+                # tent weights ARE the bilinear x-weights: 1-fx at
+                # floor(x), fx at floor(x)+1, 0 elsewhere (incl. the 1e9
+                # OOB sentinel)
+                xrel = xc - xs_row.astype(jnp.float32)  # (1, TW)
+                oxT = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - xrel))
+                oxT = oxT.astype(win.dtype)  # (SW, TW)
+
+                acc = jnp.zeros((curr_r.shape[0], TW), jnp.float32)
+                for yy in range(NY):
+                    ridx = y0r + yy
+                    Ay = win[ridx, pl.ds(xs_row, SW), :]  # (SW, C)
+                    row_abs = (y0 + ridx).astype(jnp.float32)
+                    # tent = exact bilinear y-weight of the two adjacent
+                    # rows
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - row_abs))
+                    t1 = jax.lax.dot_general(
+                        Ay, oxT,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (C, TW)
+                    acc = acc + t1 * wy
+                invalid = (acc[0:1, :] == 0.0).astype(jnp.float32)
+                cost = jnp.sum(
+                    jnp.abs(curr_r - acc), axis=0, keepdims=True
+                )
+                out_ref[0, d, r : r + 1, :] = cost + invalid * bias
+
+        return 0
+
+    jax.lax.fori_loop(0, D, one_depth, 0)
 
 
 def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
-    """Per-(bn, tile, d) int32: rowmask(8) | new(1) | window y0(7) | xs(9).
+    """Per-(bn, tile, d) prefetch words (3 int32 arrays):
 
-    y segments are grown greedily over consecutive depth planes; `new`
-    marks planes where the kernel must re-DMA the window band.
+      info:  rowmask(8) | new(1) | window y0(7) | y0r_base(6 @bit16)
+      xs16:  8 rows x 4 bits — per-row x sub-window start / 16
+      y0d:   8 rows x 4 bits — per-row y start delta vs y0r_base (clipped
+             at 15; beyond-delta rows fall into the zeros+bias tail)
+
+    Per-row starts are precomputed HERE because in-kernel vector->scalar
+    min-reductions measured ~30 ms/pair of pure overhead. y segments are
+    grown greedily over consecutive depth planes; `new` marks planes where
+    the kernel must re-DMA the window band.
     """
+    assert Wp - SW <= 15 * 16, (Wp, SW)  # xs16 packing range
     BN = gx.shape[0]
     big = jnp.float32(1e6)
     xt = gx.reshape(BN, D, n_th, TH, n_tw, TW)
@@ -154,8 +182,10 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
     yv = jnp.where(vt, yt, big)
     yvmax = jnp.where(vt, yt, -big)
 
-    xmin = jnp.floor(xv.min(axis=(3, 5)))          # (BN, D, n_th, n_tw)
-    ymin = jnp.floor(yv.min(axis=(3, 5)))
+    rxmin = jnp.floor(xv.min(axis=5))              # (BN, D, n_th, TH, n_tw)
+    rymin = jnp.floor(yv.min(axis=5))
+    xmin = rxmin.min(axis=3)                       # (BN, D, n_th, n_tw)
+    ymin = rymin.min(axis=3)
     ymax = jnp.floor(yvmax.max(axis=(3, 5)))
     valid_d = vt.any(axis=(3, 5))
     row_any = vt.any(axis=5)                        # (BN, D, n_th, TH, n_tw)
@@ -163,12 +193,22 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
     rowmask = (row_any.astype(jnp.int32)
                * bits[None, None, None, :, None]).sum(axis=3)
 
-    # 8-aligned: Mosaic requires provably sublane-aligned dynamic offsets
-    # for the in-kernel window slice (costs <=7 px of SW slack)
-    xs = jnp.clip(xmin.astype(jnp.int32) & ~7, 0, Wp - SW)
-    xs = jnp.where(valid_d, xs, 0)
+    # per-row x sub-window start, 16-aligned (Mosaic needs provably
+    # aligned dynamic sublane offsets; 16 keeps the packing to 4 bits)
+    rxs = jnp.clip(rxmin.astype(jnp.int32) & ~15, 0, Wp - SW)
+    rxs = jnp.where(row_any, rxs, 0)
+    xs16 = ((rxs // 16) << (4 * np.arange(TH))[None, None, None, :, None]
+            ).sum(axis=3).astype(jnp.int32)        # (BN, D, n_th, n_tw)
+
     lo_d = jnp.clip(ymin.astype(jnp.int32), 0, H)       # first needed row
     hi_d = jnp.clip(ymax.astype(jnp.int32) + 2, 0, H)   # past-last needed
+
+    # per-row y start as base + 4-bit delta (tile y-spans are p99 <~13 px)
+    ry = jnp.clip(rymin.astype(jnp.int32), 0, H)
+    ydelta = jnp.clip(ry - lo_d[:, :, :, None, :], 0, 15)
+    ydelta = jnp.where(row_any, ydelta, 0)
+    y0d = (ydelta << (4 * np.arange(TH))[None, None, None, :, None]
+           ).sum(axis=3).astype(jnp.int32)         # (BN, D, n_th, n_tw)
 
     T = BN * n_th * n_tw
     BIG = jnp.int32(10**6)
@@ -202,13 +242,18 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
     )
     # -> (BN, n_th, n_tw, D) step order
     unperm = lambda a: a.reshape(D, BN, n_th, n_tw).transpose(1, 2, 3, 0)
+    tostep = lambda a: a.transpose(0, 2, 3, 1)
+    seg_y0_s = unperm(seg_y0)
+    # first needed row relative to the DMA'd window origin (the scan
+    # guarantees lo_d >= seg_y0 whenever the plane has valid samples)
+    base_rel = jnp.clip(tostep(lo_d) - seg_y0_s, 0, 63)
     info = (
-        rowmask.transpose(0, 2, 3, 1)
+        tostep(rowmask)
         | (unperm(new) << 8)
-        | (unperm(seg_y0) << 9)
-        | (xs.transpose(0, 2, 3, 1) << 16)
+        | (seg_y0_s << 9)
+        | (base_rel << 16)
     )
-    return info.reshape(-1)
+    return info.reshape(-1), tostep(xs16).reshape(-1), tostep(y0d).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "interpret"))
@@ -232,7 +277,10 @@ def plane_sweep_cost(
     D = grid.shape[1] // H
     assert H % TH == 0, (H, TH)
     Wp = max(-(-W // TW) * TW, 256)
-    SW = min(256, Wp)
+    # per-ROW sub-window: row x-footprint is ~TW + warp slack (p99 < 195 px
+    # even at 7 m/frame ego motion); rows beyond it hit the zeros+bias
+    # fallback tail
+    SW = min(224, Wp)
     WH = min(48, H)
     n_th, n_tw = H // TH, Wp // TW
 
@@ -248,7 +296,7 @@ def plane_sweep_cost(
         gy = jnp.pad(gy, pads, constant_values=1e9)
         valid = jnp.pad(valid, pads)
 
-    info = _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH)
+    info, xs16, y0d = _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH)
 
     prev_p = jnp.pad(prev_feat, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
     curr_t = jnp.transpose(curr_feat, (0, 1, 3, 2))  # (BN, H, C, W)
@@ -261,29 +309,29 @@ def plane_sweep_cost(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(BN, n_th, n_tw, D),
+            num_scalar_prefetch=3,
+            grid=(BN, n_th, n_tw),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (1, 1, TH, TW),
-                    lambda bn, th, tw, d, *_: (bn, d, th, tw),
+                    (1, D, TH, TW),
+                    lambda bn, th, tw, *_: (bn, 0, th, tw),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, TH, TW),
-                    lambda bn, th, tw, d, *_: (bn, d, th, tw),
+                    (1, D, TH, TW),
+                    lambda bn, th, tw, *_: (bn, 0, th, tw),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, TH, C, TW),
-                    lambda bn, th, tw, d, *_: (bn, th, 0, tw),
+                    lambda bn, th, tw, *_: (bn, th, 0, tw),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, TH, TW),
-                lambda bn, th, tw, d, *_: (bn, d, th, tw),
+                (1, D, TH, TW),
+                lambda bn, th, tw, *_: (bn, 0, th, tw),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -296,5 +344,5 @@ def plane_sweep_cost(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(info, prev_p, gx, gy, curr_t)
+    )(info, xs16, y0d, prev_p, gx, gy, curr_t)
     return out[..., :W]
