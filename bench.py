@@ -23,14 +23,16 @@ import jax.numpy as jnp
 # peak per-chip specs by device kind: (bf16 FLOP/s, HBM bytes/s). Used to
 # report measured MFU / HBM utilization next to fps so progress is
 # meaningful independent of the A100 peg (VERDICT r1 weak #4).
+# NOTE: v5e/v6e bf16 peaks are half their headline int8 TOPS (197 vs 394,
+# 459 vs 918) — r2 bench JSONs used the int8 figure, understating MFU 2x.
 _PEAKS = {
     "TPU v4": (275e12, 1228e9),
-    "TPU v5 lite": (394e12, 819e9),
-    "TPU v5e": (394e12, 819e9),
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
     "TPU v5": (459e12, 2765e9),
     "TPU v5p": (459e12, 2765e9),
-    "TPU v6 lite": (918e12, 1640e9),
-    "TPU v6e": (918e12, 1640e9),
+    "TPU v6 lite": (459e12, 1640e9),
+    "TPU v6e": (459e12, 1640e9),
 }
 
 

@@ -57,6 +57,7 @@ from .resnet import CustomResNet3D
 from .swin import SwinTransformer
 from .view_transformer import (
     LSSViewTransformer,
+    compute_stereo_cost_volume,
     depth_bce_loss,
     get_mlp_input,
 )
@@ -164,6 +165,13 @@ class PreWorld(nn.Module):
         self.img_neck = FPN_LSS(
             out_channels=c.neck_out_channels, dtype=c.dtype, name="img_neck"
         )
+        # cv-resolution frustum for the out-of-remat cost-volume compute
+        # (numpy at trace time; mirrors the view transformer's cv_frustum)
+        from ..geometry.frustum import create_frustum
+
+        self._cv_frustum = jnp.asarray(
+            create_frustum(c.grid, c.input_size, 4)
+        )
         self.view_transformer = ViewT(
             grid=c.grid,
             input_size=c.input_size,
@@ -224,7 +232,8 @@ class PreWorld(nn.Module):
         return neck.reshape(B, N, hf, wf, cc), stereo_feat
 
     def extract_voxel_feat(
-        self, batch: Dict[str, jnp.ndarray], train: bool = False
+        self, batch: Dict[str, jnp.ndarray], train: bool = False,
+        align_after_vt: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run the 3-frame stereo loop + BEV encoder.
 
@@ -279,8 +288,40 @@ class PreWorld(nn.Module):
                 "curr_feat": jax.lax.stop_gradient(stereo_feat),
                 "k2s_sensor": curr2adj[:, fid],
             }
+            # compute the (gradient-free) cost volume OUTSIDE the remat'd
+            # view transformer: as a segment INPUT it is saved, while
+            # in-segment compute would re-run the full plane sweep in every
+            # backward pass (reference runs it under torch.no_grad,
+            # `view_transformer.py:630-631` — the TPU analog of "no_grad
+            # work must not sit under activation checkpointing")
+            stereo["cost_volume"] = compute_stereo_cost_volume(
+                self._cv_frustum, cams, stereo, c.input_size, bias=5.0,
+            )
+            if align_after_vt and not key_frame:
+                # reference test-time `align_after_view_transformation`
+                # (`tools/test.py:211`, `bevdet.py:334-362`): pool the
+                # adjacent frame into its OWN ego grid, then warp the BEV
+                # feature to the key ego by planar ego motion. Our default
+                # pools directly into the key ego (exact, no resampling);
+                # this path reproduces the reference's eval protocol.
+                own_inv = jnp.linalg.inv(batch["ego2globals"][:, fid, 0:1])
+                cams = dict(cams)
+                cams["sensor2keyego"] = (
+                    own_inv @ batch["ego2globals"][:, fid]
+                    @ batch["sensor2egos"][:, fid]
+                )
             voxel, depth = self.view_transformer(feat, cams, stereo, train)
             voxel = self.pre_process_net(voxel, train)[0]
+            if align_after_vt and not key_frame:
+                from .temporal_align import shift_voxel_feature
+
+                voxel = shift_voxel_feature(
+                    voxel.astype(jnp.float32),
+                    s2keyego[:, 0].astype(jnp.float32),
+                    s2keyego[:, fid].astype(jnp.float32),
+                    batch["bda"].astype(jnp.float32),
+                    c.grid,
+                ).astype(voxel.dtype)
             if key_frame:
                 depth_key = depth
             else:
@@ -347,7 +388,9 @@ class PreWorld(nn.Module):
             "curr_feat": stereo_feat,
             "k2s_sensor": k2s,
         }
-        voxel, _ = self.view_transformer(feat, cams, stereo, False)
+        voxel, _ = self.view_transformer(
+            feat, cams, stereo, False, pool_vox=cache.get("pool_vox")
+        )
         voxel = self.pre_process_net(voxel, False)[0]
 
         # previous frame's poses expressed in the CURRENT key ego
@@ -380,6 +423,8 @@ class PreWorld(nn.Module):
             "sensor2egos": s2e,
             "ego2globals": e2g,
         }
+        if "pool_vox" in cache:
+            new_cache["pool_vox"] = cache["pool_vox"]
         return {"semantic_occ": occ.astype(jnp.int32)}, new_cache
 
     def init_sequential_cache(self, batch):
@@ -393,6 +438,21 @@ class PreWorld(nn.Module):
         c0 = (
             c.swin_embed_dims if c.backbone == "swin" else 16
         )
+        # pooling-prep cache: for a rigid rig the frustum voxel indices are
+        # identical every streaming step (sensor2keyego is ego-relative), so
+        # bake them once (the reference `accelerate` cached-ranks analog,
+        # `view_transformer.py:155-174,263-296`)
+        from ..geometry.frustum import create_frustum, frustum_to_lidar
+        from ..geometry.frustum import voxel_indices as _voxel_indices
+
+        s2e = batch["sensor2egos"]
+        e2g = batch["ego2globals"]
+        s2keyego = jnp.linalg.inv(e2g[:, 0:1]) @ e2g @ s2e
+        frustum16 = jnp.asarray(create_frustum(c.grid, c.input_size, 16))
+        coor = frustum_to_lidar(
+            frustum16, s2keyego, batch["intrins"], batch["post_rots"],
+            batch["post_trans"], batch["bda"],
+        )
         return {
             "bev_feat": jnp.zeros(
                 (B, sz, sy, sx, c.num_trans_channels), c.dtype
@@ -400,6 +460,7 @@ class PreWorld(nn.Module):
             "stereo_feat": jnp.zeros((B * N, hc, wc, c0), c.dtype),
             "sensor2egos": batch["sensor2egos"],
             "ego2globals": batch["ego2globals"],
+            "pool_vox": _voxel_indices(coor, c.grid),
         }
 
     # ---------------- heads ----------------
@@ -466,13 +527,18 @@ class PreWorld(nn.Module):
 
     # ---------------- inference ----------------
 
-    def predict(self, batch) -> Dict[str, jnp.ndarray]:
+    def predict(self, batch, align_after_vt: bool = False
+                ) -> Dict[str, jnp.ndarray]:
         """Semantic occupancy prediction (`preworld.py:159-226`).
 
+        align_after_vt reproduces the reference's test-time adjacent-frame
+        alignment (see extract_voxel_feat; `tools/test.py:211`).
         Returns dict with 'semantic_occ' (B, X, Y, Z) int32 in [0, 17].
         """
         c = self.cfg
-        voxel_feats, _ = self.extract_voxel_feat(batch, train=False)
+        voxel_feats, _ = self.extract_voxel_feat(
+            batch, train=False, align_after_vt=align_after_vt
+        )
         if not c.if_post_finetune:
             density, semantic, _ = self.predict_attributes(voxel_feats)
             occupied = density > c.test_threshold

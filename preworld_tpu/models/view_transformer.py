@@ -32,6 +32,43 @@ from .depthnet import (
 )
 
 
+def compute_stereo_cost_volume(
+    cv_frustum, cams, stereo, input_size, bias,
+    use_fused=None, use_table=None,
+):
+    """Temporal-stereo depth cost volume (`view_transformer.py:576-604`).
+
+    Module-free (pure geometry + feature math, no params) so callers can
+    compute it OUTSIDE remat boundaries and pass it via
+    `stereo["cost_volume"]`.
+    """
+    grid_w = gen_stereo_grid(
+        cv_frustum,
+        stereo["k2s_sensor"],
+        cams["intrin"],
+        cams["post_rot"],
+        cams["post_tran"],
+        input_size,
+    )
+    from ..ops.cost_volume_pallas import plane_sweep_supported
+
+    if use_fused is None:
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and plane_sweep_supported(stereo["prev_feat"].shape)
+        )
+    if use_table is None:
+        use_table = jax.default_backend() == "tpu"
+    cv_fn = (
+        stereo_cost_volume_fused if use_fused
+        else stereo_cost_volume_expanded if use_table
+        else stereo_cost_volume
+    )
+    return cv_fn(
+        stereo["prev_feat"], stereo["curr_feat"], grid_w, bias=bias
+    )
+
+
 def get_mlp_input(sensor2ego, ego2global, intrin, post_rot, post_tran, bda):
     """27-dim camera conditioning vector (`view_transformer.py:713-734`)."""
     B, N = sensor2ego.shape[:2]
@@ -115,7 +152,12 @@ class LSSViewTransformer(nn.Module):
             name="depth_net",
         )
 
-    def __call__(self, x, cams, stereo=None, train: bool = False):
+    def __call__(self, x, cams, stereo=None, train: bool = False,
+                 pool_vox=None):
+        """pool_vox: optional precomputed `voxel_indices` of the pooling
+        frustum — the streaming path caches it across steps for fixed
+        calibration (the reference `accelerate` cached-ranks analog,
+        `view_transformer.py:155-174,263-296`)."""
         B, N, Hf, Wf, C = x.shape
         x = x.reshape(B * N, Hf, Wf, C)
 
@@ -125,33 +167,22 @@ class LSSViewTransformer(nn.Module):
                 self.input_size[0] // self.cv_downsample,
                 self.input_size[1] // self.cv_downsample,
             )
-            if stereo is None or stereo.get("prev_feat") is None:
+            if stereo is None or (
+                stereo.get("prev_feat") is None
+                and stereo.get("cost_volume") is None
+            ):
                 cost_volume = jnp.zeros((B * N, self.D, ch, cw), self.dtype)
+            elif stereo.get("cost_volume") is not None:
+                # precomputed OUTSIDE this (possibly remat'd) module — under
+                # jax.checkpoint an input is saved while in-module compute
+                # would be re-executed in every backward despite carrying no
+                # gradient (stop_gradient inputs); see preworld.py
+                cost_volume = stereo["cost_volume"]
             else:
-                grid_w = gen_stereo_grid(
-                    self.cv_frustum,
-                    stereo["k2s_sensor"],
-                    cams["intrin"],
-                    cams["post_rot"],
-                    cams["post_tran"],
-                    self.input_size,
-                )
-                use_fused = self.use_fused_cost_volume
-                if use_fused is None:
-                    use_fused = jax.default_backend() == "tpu"
-                use_table = self.use_table_cost_volume
-                if use_table is None:
-                    use_table = jax.default_backend() == "tpu"
-                cv_fn = (
-                    stereo_cost_volume_fused if use_fused
-                    else stereo_cost_volume_expanded if use_table
-                    else stereo_cost_volume
-                )
-                cost_volume = cv_fn(
-                    stereo["prev_feat"],
-                    stereo["curr_feat"],
-                    grid_w,
-                    bias=self.cost_volume_bias,
+                cost_volume = compute_stereo_cost_volume(
+                    self.cv_frustum, cams, stereo, self.input_size,
+                    self.cost_volume_bias,
+                    self.use_fused_cost_volume, self.use_table_cost_volume,
                 )
 
         out = self.depth_net(
@@ -164,15 +195,18 @@ class LSSViewTransformer(nn.Module):
         depth_bnd = depth.reshape(B, N, Hf, Wf, self.D).transpose(0, 1, 4, 2, 3)
         feat = tran_feat.reshape(B, N, Hf, Wf, self.out_channels)
 
-        coor = frustum_to_lidar(
-            self.frustum,
-            cams["sensor2keyego"],
-            cams["intrin"],
-            cams["post_rot"],
-            cams["post_tran"],
-            cams["bda"],
-        )
-        vox = voxel_indices(coor, self.grid)
+        if pool_vox is None:
+            coor = frustum_to_lidar(
+                self.frustum,
+                cams["sensor2keyego"],
+                cams["intrin"],
+                cams["post_rot"],
+                cams["post_tran"],
+                cams["bda"],
+            )
+            vox = voxel_indices(coor, self.grid)
+        else:
+            vox = pool_vox
         pix = jnp.asarray(frustum_pixel_indices(B, N, self.D, Hf, Wf))
         nvox = B * self.grid.num_voxels
         use_pallas = self.use_pallas_pool

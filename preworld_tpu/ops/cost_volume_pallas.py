@@ -256,6 +256,17 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
     return info.reshape(-1), tostep(xs16).reshape(-1), tostep(y0d).reshape(-1)
 
 
+def plane_sweep_supported(feat_shape) -> bool:
+    """True iff the fused kernel's layout assumptions hold for (BN,H,W,C)
+    stereo features: H divisible by the 8-row output tile, and C a
+    multiple of 128 lanes — the y-band window DMA slices the source on a
+    C-minor layout, and TPU DMA slices must be lane-aligned on the minor
+    dim (flagship: H=128, C=128). Callers fall back to the gather-table
+    path otherwise (tiny test configs, odd-channel backbones)."""
+    _, H, _, C = feat_shape
+    return H % TH == 0 and C % 128 == 0
+
+
 @functools.partial(jax.jit, static_argnames=("bias", "interpret"))
 def plane_sweep_cost(
     prev_feat: jnp.ndarray,

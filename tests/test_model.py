@@ -243,3 +243,90 @@ class TestBEVStereoOCCBaseline:
         )
         sx, sy, sz = (int(v) for v in cfg.grid.size)
         assert out["semantic_occ"].shape == (1, sx, sy, sz)
+
+
+class TestEvalToggles:
+    """--fuse-conv-bn and align_after_view_transformation (aavt) parity
+    toggles (reference tools/test.py:48,82,211,220-221)."""
+
+    @pytest.fixture(scope="class")
+    def toggle_setup(self):
+        cfg = tiny_config(if_post_finetune=True, if_render=False,
+                          use_lss_depth_loss=False)
+        model = PreWorld(cfg)
+        train_batch = {
+            k: jnp.asarray(v) for k, v in synthetic_batch(cfg, 1, 128).items()
+        }
+        tx = make_optimizer()
+        state = create_train_state(
+            model, train_batch, tx, jax.random.PRNGKey(0)
+        )
+        # non-trivial batch stats (fresh init has mean 0 / var 1 and would
+        # make the fold vacuous)
+        import flax
+
+        stats = jax.tree_util.tree_map(
+            lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(
+                a.shape
+            ) / max(a.size, 1),
+            flax.core.unfreeze(state.batch_stats),
+        )
+        state = state.replace(batch_stats=stats)
+        infer = {
+            k: v for k, v in train_batch.items()
+            if k in ("imgs", "sensor2egos", "ego2globals", "intrins",
+                     "post_rots", "post_trans", "bda")
+        }
+        return cfg, model, state, infer
+
+    def test_fold_conv_bn_is_exact(self, toggle_setup):
+        import flax
+
+        from preworld_tpu.utils.fold_bn import fold_conv_bn
+
+        cfg, model, state, infer = toggle_setup
+        ref = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            infer, train=False,
+        )
+        p, s = fold_conv_bn(
+            flax.core.unfreeze(state.params),
+            flax.core.unfreeze(state.batch_stats),
+        )
+        # at least one kernel must actually have been rescaled
+        changed = jax.tree_util.tree_reduce(
+            lambda acc, x: acc or bool(x),
+            jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.any(a != b)),
+                flax.core.unfreeze(state.params), p,
+            ),
+            False,
+        )
+        assert changed
+        out = model.apply(
+            {"params": p, "batch_stats": s}, infer, train=False
+        )
+        # integer argmax predictions must agree ~everywhere (float assoc
+        # can flip exact argmax ties on random weights)
+        agree = (np.asarray(out["semantic_occ"])
+                 == np.asarray(ref["semantic_occ"])).mean()
+        assert agree > 0.995, agree
+
+    def test_aavt_path_runs_and_matches_closely(self, toggle_setup):
+        cfg, model, state, infer = toggle_setup
+        ref = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            infer, train=False,
+        )
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            infer,
+            method=lambda m, b: m.predict(b, align_after_vt=True),
+        )
+        occ = np.asarray(out["semantic_occ"])
+        assert occ.shape == np.asarray(ref["semantic_occ"]).shape
+        assert occ.min() >= 0 and occ.max() <= 17
+        # shift-based alignment resamples the adjacent BEV feature; at
+        # 0.4 m/frame ego motion predictions stay largely consistent
+        agree = (occ == np.asarray(ref["semantic_occ"])).mean()
+        assert agree > 0.7, agree

@@ -26,6 +26,15 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None,
                    help="eval batch (default: one sample per device)")
     p.add_argument("--out", default=None, help="dump predictions .npz dir")
+    p.add_argument("--fuse-conv-bn", action="store_true",
+                   help="fold BN into convs before eval (reference "
+                        "tools/test.py:48,220-221; exact transform)")
+    p.add_argument("--no-aavt", action="store_true",
+                   help="disable test-time adjacent-frame BEV alignment "
+                        "(align_after_view_transformation, reference "
+                        "tools/test.py:82,211). Default ON for protocol "
+                        "parity; --no-aavt pools adjacent frames directly "
+                        "into the key ego (exact, no resampling)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -96,6 +105,30 @@ def main():
         state, resumed = maybe_resume(state, args.checkpoint)
         logging.info("checkpoint restored: %s", resumed)
 
+    if args.fuse_conv_bn:
+        import flax
+
+        from preworld_tpu.train import eval_params
+        from preworld_tpu.utils.fold_bn import fold_conv_bn
+
+        # fold the EVAL weights (EMA when present) and install them as both
+        # copies so eval_params resolves to the folded tree either way
+        p, s = fold_conv_bn(
+            flax.core.unfreeze(eval_params(state)),
+            flax.core.unfreeze(state.batch_stats),
+        )
+        state = state.replace(params=p, ema_params=p, batch_stats=s)
+        logging.info("folded conv+BN pairs for eval")
+
+    aavt = not args.no_aavt
+
+    @jax.jit
+    def predict_fn(params, batch_stats, b):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, b,
+            method=lambda m, bb: m.predict(bb, align_after_vt=aavt),
+        )
+
     dump_fn = None
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -109,6 +142,7 @@ def main():
         model, state, chain(), mesh,
         num_classes=model.cfg.num_classes, use_image_mask=True,
         batch_size=args.batch_size, dump_fn=dump_fn,
+        predict_fn=predict_fn,
     )
     print(results)
 
