@@ -143,6 +143,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 4
     drop_path: float = 0.0
     use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
+    use_fused_mlp: Any = None  # None = auto (TPU inference); bool forces
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,10 +184,39 @@ class SwinBlock(nn.Module):
         y = y[:, :H, :W].reshape(B, L, C)
         x = shortcut + _drop_path(y, self.drop_path, train, self, "dp1")
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        fc1 = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")
+        fc2 = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")
+        # fused LN2+MLP+residual Pallas kernel at inference on TPU: the XLA
+        # path round-trips the 4C-wide hidden activation through HBM (the
+        # largest single traffic term in the backbone); the kernel streams
+        # row tiles through LN -> fc1 -> GELU -> fc2 -> +residual in VMEM.
+        # C must be lane-aligned (128) for the weight/block layouts.
+        fused_mlp = self.use_fused_mlp
+        if fused_mlp is None:
+            fused_mlp = jax.default_backend() == "tpu"
+        fused_mlp = fused_mlp and (not train) and C % 128 == 0
+        if fused_mlp:
+            from ..ops.swin_mlp_pallas import fused_swin_mlp
+
+            # dummy 1-token call creates the params (checkpoint-identical
+            # tree); XLA dead-code-eliminates the result
+            _ = fc2(nn.gelu(fc1(norm2(jnp.zeros((1, 1, C), self.dtype))),
+                            approximate=False))
+            pn = norm2.variables["params"]
+            p1 = fc1.variables["params"]
+            p2 = fc2.variables["params"]
+            return fused_swin_mlp(
+                x,
+                pn["scale"], pn["bias"],
+                p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
+                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
+                block_rows=2048,
+            )
+        y = norm2(x)
+        y = fc1(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        y = fc2(y)
         return x + _drop_path(y, self.drop_path, train, self, "dp2")
 
 
@@ -237,6 +267,7 @@ class SwinTransformer(nn.Module):
     return_stereo_feat: bool = True
     patch_norm: bool = True
     use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
+    use_fused_mlp: Any = None  # None = auto (TPU inference); bool forces
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -277,6 +308,7 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[blk_id]),
                     use_fused_attn=self.use_fused_attn,
+                    use_fused_mlp=self.use_fused_mlp,
                     dtype=self.dtype,
                     name=f"stage{i}_block{j}",
                 )(x, hw, train)

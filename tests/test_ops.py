@@ -671,3 +671,49 @@ class TestPlaneSweepKernel:
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(ref), atol=1e-4
         )
+
+
+class TestFusedSwinMlp:
+    """Pallas fused LN2+MLP+residual (interpret) == the XLA block path."""
+
+    def _xla_mlp(self, x, ls, lb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = xc * jax.lax.rsqrt(var + 1e-5) * ls + lb
+        h = jax.nn.gelu(xn @ w1 + b1, approximate=False)
+        return x + h @ w2 + b2
+
+    def _case(self, M, C, Hd, block_rows, hidden_chunk, shape3d=False,
+              seed=0):
+        from preworld_tpu.ops.swin_mlp_pallas import fused_swin_mlp
+
+        rng = np.random.default_rng(seed)
+        shape = (2, M // 2, C) if shape3d else (M, C)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ls = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        lb = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        w1 = jnp.asarray((rng.normal(size=(C, Hd)) * 0.05).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(size=Hd).astype(np.float32))
+        w2 = jnp.asarray((rng.normal(size=(Hd, C)) * 0.05).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        got = fused_swin_mlp(x, ls, lb, w1, b1, w2, b2,
+                             block_rows=block_rows,
+                             hidden_chunk=hidden_chunk, interpret=True)
+        want = self._xla_mlp(x, ls, lb, w1, b1, w2, b2)
+        assert got.shape == x.shape
+        # erf approximation (A&S 7.1.26, max err 1.5e-7) bounds the
+        # achievable mismatch far below any bf16-visible level
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_exact_tiles(self):
+        self._case(256, 128, 512, 128, 256)
+
+    def test_ragged_rows_padding(self):
+        self._case(300, 128, 512, 128, 512)
+
+    def test_3d_tokens_hidden_chunking(self):
+        self._case(64, 128, 512, 32, 128, shape3d=True)
