@@ -470,6 +470,46 @@ class TestBevPoolPallas:
         np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
                                    rtol=1e-4, atol=1e-5)
 
+    def _check(self, vox_np, nvox, C=8):
+        """Oracle check for a given voxel-id distribution (skew edges of
+        the dynamic per-tile block walk)."""
+        from preworld_tpu.geometry import frustum_pixel_indices
+        from preworld_tpu.ops.bev_pool_pallas import bev_pool_fused
+
+        B, N, D, H, W = vox_np.shape
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(size=(B, N, D, H, W)).astype(np.float32)
+        feat = rng.normal(size=(B, N, H, W, C)).astype(np.float32)
+        pix = frustum_pixel_indices(B, N, D, H, W)
+        ours = np.asarray(
+            bev_pool_fused(depth, feat, vox_np, pix, nvox, interpret=True)
+        )
+        ref = np.zeros((nvox, C), np.float32)
+        ok = vox_np.reshape(-1) < nvox
+        np.add.at(
+            ref, vox_np.reshape(-1)[ok],
+            feat.reshape(-1, C)[np.asarray(pix).reshape(-1)[ok]]
+            * depth.reshape(-1)[ok, None],
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_all_points_one_voxel(self):
+        # worst skew: a single tile walks every block, all others none
+        shape = (1, 2, 6, 4, 5)
+        self._check(np.full(shape, 7, np.int32), int(1.5 * 512))
+
+    def test_all_points_out_of_range(self):
+        shape = (1, 2, 6, 4, 5)
+        self._check(np.full(shape, 10_000, np.int32), int(1.5 * 512))
+
+    def test_boundary_voxels(self):
+        # ids packed at tile boundaries and the last in-range id
+        nvox = int(1.5 * 512)
+        rng = np.random.default_rng(4)
+        ids = np.array([0, 511, 512, 513, 1023, nvox - 1, nvox, nvox + 7])
+        vox = rng.choice(ids, size=(1, 2, 6, 4, 5)).astype(np.int32)
+        self._check(vox, nvox)
+
 
 class TestCostVolumeExpanded:
     """Corner-table cost volume (the TPU default) == grid_sample oracle."""
@@ -549,6 +589,54 @@ class TestFusedWindowAttention:
 
     def test_odd_window_count(self):
         self._case(True, Bn=9, nW=9, seed=1)  # forces window_g fallback
+
+    def _grad_case(self, masked, Bn=6, N=16, h=4, d=8, nW=3, seed=2):
+        from preworld_tpu.ops.window_attn_pallas import (
+            fused_window_attention_vjp,
+        )
+
+        rng = np.random.default_rng(seed)
+        C = h * d
+        q = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(h, N, N)).astype(np.float32))
+        mask = (
+            jnp.asarray(
+                np.where(rng.random((nW, N, N)) > 0.7, -100.0, 0.0)
+                .astype(np.float32)
+            )
+            if masked else None
+        )
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        # cotangent-weighted scalar so every output element gets a distinct
+        # gradient contribution
+        ct = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+
+        def loss_fused(qkv_, bias_):
+            out = fused_window_attention_vjp(
+                qkv_, bias_, mask, h, 4, True
+            )
+            return (out * ct).sum()
+
+        def loss_xla(qkv_, bias_):
+            q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+            return (self._xla_attn(q_, k_, v_, bias_, mask, h) * ct).sum()
+
+        gq_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+        gq_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(
+            np.asarray(gq_f), np.asarray(gq_x), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5, atol=2e-5
+        )
+
+    def test_grad_unmasked(self):
+        self._grad_case(False)
+
+    def test_grad_masked_shifted(self):
+        self._grad_case(True)
 
 
 class TestPlaneSweepKernel:
