@@ -144,8 +144,14 @@ def render_scene(
     t_e, t_o = build_parity_tables(jax.lax.stop_gradient(fused), tdt)
 
     # under remat, keep the sampled field values as residuals (the gathers
-    # are the expensive part; everything downstream is cheap VPU math)
-    policy = jax.checkpoint_policies.save_only_these_names("render_sampled")
+    # are the expensive part) plus the cumdist keep-mask: it is produced by
+    # a genuinely sequential 416-step lax.scan over pure ray geometry
+    # (carries a resetting accumulator), so recomputing it inside the
+    # backward serializes ~S tiny VPU steps for a value that costs only
+    # R*S bools (~16 MB) to keep
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "render_sampled", "render_keep"
+    )
 
     @partial(jax.checkpoint, policy=policy)
     def one_chunk(args):
@@ -192,7 +198,7 @@ def render_scene(
 def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg, ray_mask):
     spec = cfg.spec
     pts, inner, t = sample_ray_points(rays_o, rays_d, bda, spec)
-    keep = cumdist_mask(pts, inner, spec)
+    keep = checkpoint_name(cumdist_mask(pts, inner, spec), "render_keep")
 
     lo = jnp.asarray(spec.xyz_min)
     hi = jnp.asarray(spec.xyz_max)

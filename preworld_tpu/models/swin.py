@@ -113,9 +113,11 @@ class WindowMSA(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
         if fused:
-            from ..ops.window_attn_pallas import fused_window_attention
+            from ..ops.window_attn_pallas import fused_window_attention_vjp
 
-            out = fused_window_attention(
+            # custom_vjp wrapper: identical kernel forward; flash-style
+            # recompute backward (so the fused path is valid in training)
+            out = fused_window_attention_vjp(
                 qkv.reshape(Bn, N, 3 * C), bias, mask, h
             )
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -166,15 +168,16 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = window_partition(y, ws)
-        # fused Pallas attention at inference on TPU (no VJP; training and
-        # other backends keep the XLA einsum path). use_fused_attn overrides
-        # the backend auto-detect (trace-time default_backend is wrong for
-        # an explicitly CPU-placed jit on a TPU host). N = ws*ws must be
-        # 16-aligned for the kernel's sublane-offset hint.
+        # fused Pallas attention on TPU; the flash-style custom VJP
+        # (window_attn_pallas.fused_window_attention_vjp) covers training
+        # too. use_fused_attn overrides the backend auto-detect (trace-time
+        # default_backend is wrong for an explicitly CPU-placed jit on a
+        # TPU host). N = ws*ws must be 16-aligned for the kernel's
+        # sublane-offset hint.
         fused = self.use_fused_attn
         if fused is None:
             fused = jax.default_backend() == "tpu"
-        fused = fused and (not train) and (ws * ws) % 16 == 0
+        fused = fused and (ws * ws) % 16 == 0
         wins = WindowMSA(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
         )(wins, mask, fused=fused)

@@ -8,9 +8,14 @@ This kernel keeps one window-block's scores in VMEM/registers through
 QK^T -> +relative-position bias -> +shift mask -> softmax -> @V, writing
 only the (N, d) outputs.
 
-Scope: inference only (no VJP — training keeps the XLA path, whose
-backward XLA already schedules reasonably; the fps headline is inference).
-Semantics oracled against `WindowMSA`'s math in tests/test_ops.py.
+`fused_window_attention` is the raw inference kernel;
+`fused_window_attention_vjp` wraps it with a flash-style custom VJP whose
+backward kernel recomputes each window's softmax from the saved qkv (never
+materializing any (.., N, N) score tensor in HBM in either direction) and
+emits the PACKED (Bn, N, 3C) dqkv — exactly the cotangent layout the qkv
+Dense's own VJP consumes — plus the (heads, N, N) relative-position-bias
+gradient accumulated across grid steps. Semantics + grads oracled against
+`WindowMSA`'s XLA math in tests/test_ops.py.
 
 Hard-won TPU constraints baked into the interface:
   * the kernel takes the qkv projection's PACKED (Bn*N, 3C) output and
@@ -139,3 +144,176 @@ def fused_window_attention(
         mask.reshape(nW * N, N).astype(jnp.float32),
     )
     return out.reshape(Bn, N, C)
+
+
+def _attn_bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref,
+                     dqkv_ref, dbias_ref, *,
+                     G, N, heads, d, scale, masked):
+    """Flash-style window-attention backward: recompute each window's
+    softmax from qkv (2 extra (N,N,d) matmuls) instead of saving the
+    (Bn, h, N, N) probabilities; 5 MXU contractions per window-head.
+    dbias accumulates across sequential grid steps into one block."""
+    C = heads * d
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+
+    def per_window(g, _):
+        base = pl.multiple_of(g * N, 16) if N % 16 == 0 else g * N
+
+        for h in range(heads):
+            qh = qkv_ref[pl.ds(base, N), h * d : (h + 1) * d]
+            kh = qkv_ref[pl.ds(base, N), C + h * d : C + (h + 1) * d]
+            vh = qkv_ref[pl.ds(base, N), 2 * C + h * d : 2 * C + (h + 1) * d]
+            doh = do_ref[pl.ds(base, N), h * d : (h + 1) * d]
+
+            s = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + bias_ref[h * N : (h + 1) * N, :]
+            if masked:
+                s = s + mask_ref[pl.ds(base, N), :]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)  # (N, N) f32
+
+            pb = p.astype(qkv_ref.dtype)
+            # dv = p^T do
+            dv = jax.lax.dot_general(
+                pb, doh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dp = do v^T
+            dp = jax.lax.dot_general(
+                doh, vh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # softmax vjp: ds = p * (dp - rowsum(dp * p))
+            row = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds = p * (dp - row)  # grad wrt s (post-scale/bias/mask)
+            dbias_ref[h * N : (h + 1) * N, :] += ds
+            dsb = ds.astype(qkv_ref.dtype)
+            dq = jax.lax.dot_general(
+                dsb, kh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                dsb, qh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dt = dqkv_ref.dtype
+            dqkv_ref[pl.ds(base, N), h * d : (h + 1) * d] = dq.astype(dt)
+            dqkv_ref[pl.ds(base, N), C + h * d : C + (h + 1) * d] = (
+                dk.astype(dt)
+            )
+            dqkv_ref[pl.ds(base, N), 2 * C + h * d : 2 * C + (h + 1) * d] = (
+                dv.astype(dt)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, G, per_window, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "window_g", "interpret")
+)
+def _fused_window_attention_bwd(
+    qkv, bias, mask, do, heads, window_g=8, interpret=False
+):
+    """Backward pass: (dqkv (Bn, N, 3C), dbias (heads, N, N))."""
+    Bn, N, C3 = qkv.shape
+    C = C3 // 3
+    d = C // heads
+    masked = mask is not None
+    G = window_g
+    while G > 1 and (Bn % G or (masked and mask.shape[0] % G)):
+        G -= 1
+    n_steps = Bn // G
+    if mask is None:
+        mask = jnp.zeros((G, N, N), jnp.float32)
+    nW = mask.shape[0]
+    n_mask_blocks = nW // G
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, G=G, N=N, heads=heads, d=d,
+        scale=float(d) ** -0.5, masked=masked,
+    )
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((G * N, C3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads * N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (G * N, N),
+                lambda i, nb=n_mask_blocks: (i % nb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((G * N, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G * N, C3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # single block revisited by every step -> sequential accumulate
+            pl.BlockSpec((heads * N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bn * N, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((heads * N, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        qkv.reshape(Bn * N, C3),
+        bias.reshape(heads * N, N).astype(jnp.float32),
+        mask.reshape(nW * N, N).astype(jnp.float32),
+        do.reshape(Bn * N, C).astype(qkv.dtype),
+    )
+    return dqkv.reshape(Bn, N, C3), dbias.reshape(heads, N, N)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
+def fused_window_attention_vjp(
+    qkv, bias, mask, heads, window_g=8, interpret=False
+):
+    """`fused_window_attention` with a flash-style backward (training path).
+
+    Differentiable in qkv and bias; the shift mask is geometry (zeros /
+    -100 region constants — reference `swin.py:163-174`) and gets no
+    cotangent. Residuals are just (qkv, bias, mask): the backward kernel
+    recomputes window softmaxes in VMEM, so neither direction ever writes
+    an (.., N, N) score tensor to HBM.
+    """
+    return fused_window_attention(
+        qkv, bias, mask, heads, window_g, interpret
+    )
+
+
+def _fwa_fwd(qkv, bias, mask, heads, window_g, interpret):
+    out = fused_window_attention(qkv, bias, mask, heads, window_g, interpret)
+    return out, (qkv, bias, mask)
+
+
+def _fwa_bwd(heads, window_g, interpret, res, do):
+    qkv, bias, mask = res
+    dqkv, dbias = _fused_window_attention_bwd(
+        qkv, bias, mask, do, heads, window_g, interpret
+    )
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dbias.astype(bias.dtype), dmask
+
+
+fused_window_attention_vjp.defvjp(_fwa_fwd, _fwa_bwd)
