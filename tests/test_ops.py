@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import chex
 
 from preworld_tpu.ops import (
     alpha2weight,
@@ -637,6 +638,43 @@ class TestFusedWindowAttention:
 
     def test_grad_masked_shifted(self):
         self._grad_case(True)
+
+    def test_swinblock_train_grads_match_xla(self, monkeypatch):
+        """Full SwinBlock (shifted, train=True) with the fused-attention
+        custom VJP == the XLA einsum path, values AND param grads (incl.
+        the relative-position bias table through dbias)."""
+        import preworld_tpu.ops.window_attn_pallas as wap
+        from preworld_tpu.models.swin import SwinBlock
+
+        orig = wap.fused_window_attention_vjp
+        monkeypatch.setattr(
+            wap, "fused_window_attention_vjp",
+            lambda qkv, bias, mask, h, g=8, interp=False: orig(
+                qkv, bias, mask, h, g, True
+            ),
+        )
+
+        rng = np.random.default_rng(0)
+        B, H, W, C, heads, ws = 2, 8, 12, 32, 4, 4
+        x = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
+
+        def run(fused):
+            blk = SwinBlock(C, heads, ws, shift=True, use_fused_attn=fused,
+                            use_fused_mlp=False)
+            params = blk.init(jax.random.PRNGKey(0), x, (H, W), train=True)
+
+            def loss(p):
+                return (blk.apply(p, x, (H, W), train=True) * ct).sum()
+
+            return loss(params), jax.grad(loss)(params), params
+
+        lf, gf, pf = run(True)
+        lx, gx, px = run(False)
+        # same init -> identical param trees
+        chex.assert_trees_all_close(pf, px, rtol=0, atol=0)
+        np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+        chex.assert_trees_all_close(gf, gx, rtol=5e-5, atol=5e-5)
 
 
 class TestPlaneSweepKernel:
