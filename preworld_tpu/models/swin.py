@@ -190,17 +190,19 @@ class SwinBlock(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         fc1 = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")
         fc2 = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")
-        # fused LN2+MLP+residual Pallas kernel at inference on TPU: the XLA
-        # path round-trips the 4C-wide hidden activation through HBM (the
+        # fused LN2+MLP+residual Pallas kernel on TPU: the XLA path
+        # round-trips the 4C-wide hidden activation through HBM (the
         # largest single traffic term in the backbone); the kernel streams
         # row tiles through LN -> fc1 -> GELU -> fc2 -> +residual in VMEM.
+        # The custom VJP (swin_mlp_pallas.fused_swin_mlp_vjp) covers
+        # training; drop_path enters as the kernel's per-row branch scale.
         # C must be lane-aligned (128) for the weight/block layouts.
         fused_mlp = self.use_fused_mlp
         if fused_mlp is None:
             fused_mlp = jax.default_backend() == "tpu"
-        fused_mlp = fused_mlp and (not train) and C % 128 == 0
+        fused_mlp = fused_mlp and C % 128 == 0
         if fused_mlp:
-            from ..ops.swin_mlp_pallas import fused_swin_mlp
+            from ..ops.swin_mlp_pallas import fused_swin_mlp_vjp
 
             # dummy 1-token call creates the params (checkpoint-identical
             # tree); XLA dead-code-eliminates the result
@@ -209,12 +211,24 @@ class SwinBlock(nn.Module):
             pn = norm2.variables["params"]
             p1 = fc1.variables["params"]
             p2 = fc2.variables["params"]
-            return fused_swin_mlp(
+            row_scale = None
+            if train and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                m = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (x.shape[0],)
+                )
+                row_scale = jnp.broadcast_to(
+                    (m.astype(jnp.float32) / keep)[:, None],
+                    (x.shape[0], x.shape[1]),
+                ).reshape(-1)
+            # custom_vjp is positional-only: (..., row_scale, block_rows,
+            # hidden_chunk, interpret)
+            return fused_swin_mlp_vjp(
                 x,
                 pn["scale"], pn["bias"],
                 p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
                 p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
-                block_rows=2048,
+                row_scale, 2048, 512, False,
             )
         y = norm2(x)
         y = fc1(y)

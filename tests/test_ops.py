@@ -640,9 +640,11 @@ class TestFusedWindowAttention:
         self._grad_case(True)
 
     def test_swinblock_train_grads_match_xla(self, monkeypatch):
-        """Full SwinBlock (shifted, train=True) with the fused-attention
-        custom VJP == the XLA einsum path, values AND param grads (incl.
-        the relative-position bias table through dbias)."""
+        """Full SwinBlock (shifted, train=True) with BOTH fused custom VJPs
+        (attention + MLP) == the XLA path, values AND param grads (incl.
+        the relative-position bias table through dbias). C=128 so the
+        fused-MLP lane gate passes."""
+        import preworld_tpu.ops.swin_mlp_pallas as smp
         import preworld_tpu.ops.window_attn_pallas as wap
         from preworld_tpu.models.swin import SwinBlock
 
@@ -653,15 +655,22 @@ class TestFusedWindowAttention:
                 qkv, bias, mask, h, g, True
             ),
         )
+        orig_mlp = smp.fused_swin_mlp_vjp
+        monkeypatch.setattr(
+            smp, "fused_swin_mlp_vjp",
+            lambda x, ls, lb, w1, b1, w2, b2, rs, br, hc, interp: orig_mlp(
+                x, ls, lb, w1, b1, w2, b2, rs, br, hc, True
+            ),
+        )
 
         rng = np.random.default_rng(0)
-        B, H, W, C, heads, ws = 2, 8, 12, 32, 4, 4
+        B, H, W, C, heads, ws = 2, 8, 12, 128, 4, 4
         x = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
         ct = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
 
         def run(fused):
             blk = SwinBlock(C, heads, ws, shift=True, use_fused_attn=fused,
-                            use_fused_mlp=False)
+                            use_fused_mlp=fused)
             params = blk.init(jax.random.PRNGKey(0), x, (H, W), train=True)
 
             def loss(p):
@@ -843,3 +852,59 @@ class TestFusedSwinMlp:
 
     def test_3d_tokens_hidden_chunking(self):
         self._case(64, 128, 512, 32, 128, shape3d=True)
+
+    def _grad_case(self, M=256, C=128, Hd=512, block_rows=128,
+                   hidden_chunk=256, row_scale=None, seed=1):
+        from preworld_tpu.ops.swin_mlp_pallas import fused_swin_mlp_vjp
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+        ls = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        lb = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        w1 = jnp.asarray((rng.normal(size=(C, Hd)) * 0.05).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(size=Hd).astype(np.float32))
+        w2 = jnp.asarray((rng.normal(size=(Hd, C)) * 0.05).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(size=C).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32))
+
+        def loss_fused(*args):
+            out = fused_swin_mlp_vjp(
+                *args, row_scale, block_rows, hidden_chunk, True
+            )
+            return (out * ct).sum()
+
+        def loss_xla(x_, ls_, lb_, w1_, b1_, w2_, b2_):
+            xf = x_.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            xn = xc * jax.lax.rsqrt(var + 1e-5) * ls_ + lb_
+            h = jax.nn.gelu(xn @ w1_ + b1_, approximate=False)
+            y = h @ w2_ + b2_
+            if row_scale is not None:
+                y = y * row_scale[:, None]
+            return ((x_ + y) * ct).sum()
+
+        args = (x, ls, lb, w1, b1, w2, b2)
+        gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        gx = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+        for a, b, name in zip(
+            gf, gx, ["x", "ls", "lb", "w1", "b1", "w2", "b2"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+                err_msg=f"grad mismatch: {name}",
+            )
+
+    def test_grads(self):
+        self._grad_case()
+
+    def test_grads_ragged_rows(self):
+        self._grad_case(M=300, block_rows=128)
+
+    def test_grads_drop_path_row_scale(self):
+        rng = np.random.default_rng(7)
+        rs = jnp.asarray(
+            (rng.random(300) > 0.3).astype(np.float32) / 0.7
+        )
+        self._grad_case(M=300, block_rows=128, row_scale=rs, seed=2)
