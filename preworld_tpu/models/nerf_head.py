@@ -88,6 +88,13 @@ class NerfHeadConfig:
     # (lax.map + remat over ray chunks) — it multiplies the backward's
     # table-fold cost by the chunk count, so prefer dense when HBM allows.
     ray_chunk: int = 0
+    # per-ray live-sample cap for the backward scatter (0 = off). Early
+    # exit + fast_color_thres give dead samples exactly-zero cotangents
+    # (typically >90% of samples), so the descriptor-bound scatter shrinks
+    # ~S/cap-fold; a lax.cond falls back to the full scatter if any ray
+    # overflows, so results are exact either way. See
+    # ops/field_sample.py::_corner8_scatter_grad.
+    bwd_live_cap: int = 0
 
 
 def _sample_field(field_xyzc: jnp.ndarray, pts_norm: jnp.ndarray) -> jnp.ndarray:
@@ -204,7 +211,9 @@ def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg, ray_mask):
     hi = jnp.asarray(spec.xyz_max)
     pts_norm = (pts - lo) / (hi - lo) * 2.0 - 1.0
 
-    sampled = sample_tables_fused(fused, t_e, t_o, pts_norm)  # (R, S, 21)
+    sampled = sample_tables_fused(
+        fused, t_e, t_o, pts_norm, cfg.bwd_live_cap
+    )  # (R, S, 21)
     sampled = checkpoint_name(sampled, "render_sampled")
     nsem = fused.shape[-1] - 4
     dens = sampled[..., 0]

@@ -264,7 +264,8 @@ def sample_parity_tables(
 
 
 def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
-                          seg_target: int = 1 << 21):
+                          seg_target: int = 1 << 21,
+                          live_cap: int = 0):
     """d(field) for trilinear sampling: one scatter in the 8-corner-table
     layout, then the dense fold back to the field (the exact transpose of
     `build_corner_table`). Used as the custom VJP of `sample_field_fused` —
@@ -278,54 +279,106 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
     per-corner update blocks are built as a flat 2D lane-concat (corner
     slots padded to 32 lanes) for the same no-3D-relayout reason as the
     forward's combine.
+
+    `live_cap` > 0 (requires (R, S, ...) inputs) turns on EXACT per-ray
+    live-sample compaction: the render's early-exit / threshold `where`s
+    give dead samples exactly-zero cotangents (see ops/render.py
+    alpha2weight and models/nerf_head.py), and typically only ~5-10% of
+    the R*S samples are live, so the scatter — descriptor-rate-bound on
+    TPU — shrinks ~S/cap-fold. Rays whose live count exceeds the cap
+    would lose gradient, so a lax.cond falls back to the full scatter
+    whenever ANY ray overflows: the result is exact for every input (the
+    cap only decides which of two exact paths runs).
     """
     X, Y, Z = dims_xyz
     C = field_shape[-1]
     slot = _corner_slot(C)
     dt = g.dtype
-    g = g.reshape(-1, C)
-    P = g.shape[0]
-    pts = pts_norm.reshape(-1, 3)
 
-    def seg_scatter(tab, args):
-        g_s, pts_s = args
-        xs, ys, zs, fx, fy, fz, valid = _trilinear_coords(
-            dims_xyz, pts_s, dt
+    def scatter_to_tab(g_flat, pts_flat):
+        P = g_flat.shape[0]
+
+        def seg_scatter(tab, args):
+            g_s, pts_s = args
+            xs, ys, zs, fx, fy, fz, valid = _trilinear_coords(
+                dims_xyz, pts_s, dt
+            )
+            g_pad = (
+                jnp.pad(g_s, ((0, 0), (0, slot - C)))
+                * valid[:, None].astype(dt)
+            )
+            wx = (1 - fx, fx)
+            wy = (1 - fy, fy)
+            wz = (1 - fz, fz)
+            upd = jnp.concatenate(
+                [
+                    g_pad * (wx[dx] * wy[dy] * wz[dz])[:, None]
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                    for dz in (0, 1)
+                ],
+                axis=1,
+            )  # (n, 8*slot)
+            idx = (xs * (Y + 1) + ys) * (Z + 1) + zs
+            return tab.at[idx].add(upd), None
+
+        n_seg = max(1, -(-P // seg_target))
+        pad = (-P) % n_seg
+        if pad:
+            g_flat = jnp.pad(g_flat, ((0, pad), (0, 0)))
+            # padded points land fully out of range -> valid=0 -> no update
+            pts_flat = jnp.pad(
+                pts_flat, ((0, pad), (0, 0)), constant_values=-10.0
+            )
+        tab = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8 * slot), dt)
+        if n_seg == 1:
+            tab, _ = seg_scatter(tab, (g_flat, pts_flat))
+        else:
+            tab, _ = jax.lax.scan(
+                seg_scatter,
+                tab,
+                (
+                    g_flat.reshape(n_seg, -1, C),
+                    pts_flat.reshape(n_seg, -1, 3),
+                ),
+            )
+        return tab
+
+    use_compact = (
+        live_cap > 0
+        and pts_norm.ndim >= 3
+        and pts_norm.shape[-2] > live_cap
+    )
+    if use_compact:
+        R = 1
+        for d in pts_norm.shape[:-2]:
+            R *= d
+        S = pts_norm.shape[-2]
+        g2 = g.reshape(R, S, C)
+        pts2 = pts_norm.reshape(R, S, 3)
+        live = jnp.any(g2 != 0, axis=-1)  # (R, S)
+        fits = jnp.max(live.sum(axis=1)) <= live_cap
+        def compact_branch():
+            # stable sort moves live samples to the front, preserving order
+            order = jnp.argsort(
+                jnp.where(live, 0, 1).astype(jnp.int32), axis=1, stable=True
+            )[:, :live_cap]
+            flat = (
+                jnp.arange(R, dtype=jnp.int32)[:, None] * S + order
+            ).reshape(-1)
+            # ONE row gather for pts+g together (descriptor-bound either way)
+            rows = jnp.concatenate([pts2, g2], axis=-1).reshape(
+                R * S, 3 + C
+            )[flat]
+            return scatter_to_tab(rows[:, 3:], rows[:, :3])
+
+        tab = jax.lax.cond(
+            fits,
+            compact_branch,
+            lambda: scatter_to_tab(g.reshape(-1, C), pts_norm.reshape(-1, 3)),
         )
-        g_pad = jnp.pad(g_s, ((0, 0), (0, slot - C))) * valid[:, None].astype(dt)
-        wx = (1 - fx, fx)
-        wy = (1 - fy, fy)
-        wz = (1 - fz, fz)
-        upd = jnp.concatenate(
-            [
-                g_pad * (wx[dx] * wy[dy] * wz[dz])[:, None]
-                for dx in (0, 1)
-                for dy in (0, 1)
-                for dz in (0, 1)
-            ],
-            axis=1,
-        )  # (n, 8*slot)
-        idx = (xs * (Y + 1) + ys) * (Z + 1) + zs
-        return tab.at[idx].add(upd), None
-
-    n_seg = max(1, -(-P // seg_target))
-    pad = (-P) % n_seg
-    if pad:
-        g = jnp.pad(g, ((0, pad), (0, 0)))
-        # padded points land fully out of range -> valid=0 -> zero updates
-        pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=-10.0)
-    tab = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8 * slot), dt)
-    if n_seg == 1:
-        tab, _ = seg_scatter(tab, (g, pts))
     else:
-        tab, _ = jax.lax.scan(
-            seg_scatter,
-            tab,
-            (
-                g.reshape(n_seg, -1, C),
-                pts.reshape(n_seg, -1, 3),
-            ),
-        )
+        tab = scatter_to_tab(g.reshape(-1, C), pts_norm.reshape(-1, 3))
     tab = tab.reshape(X + 1, Y + 1, Z + 1, 8, slot)[..., :C]
     d_pad = jnp.zeros((X + 2, Y + 2, Z + 2, C), dt)
     k = 0
@@ -367,7 +420,8 @@ def _make_fused_sampler(field_shape, field_dtype_name, table_dtype_name):
 
 
 @lru_cache(maxsize=64)
-def _make_table_sampler(field_shape, field_dtype_name, table_dtype_name):
+def _make_table_sampler(field_shape, field_dtype_name, table_dtype_name,
+                        live_cap=0):
     field_dtype = jnp.dtype(field_dtype_name)
     table_dtype = jnp.dtype(table_dtype_name)
     X, Y, Z, C = field_shape
@@ -386,7 +440,8 @@ def _make_table_sampler(field_shape, field_dtype_name, table_dtype_name):
 
     def f_bwd(pts_norm, g):
         d_field = _corner8_scatter_grad(
-            field_shape, dims, pts_norm, g.astype(jnp.float32)
+            field_shape, dims, pts_norm, g.astype(jnp.float32),
+            live_cap=live_cap,
         )
         return (
             d_field.astype(field_dtype),
@@ -399,14 +454,20 @@ def _make_table_sampler(field_shape, field_dtype_name, table_dtype_name):
     return f
 
 
-def sample_tables_fused(field, t_e, t_o, pts_norm):
+def sample_tables_fused(field, t_e, t_o, pts_norm, live_cap: int = 0):
     """Like `sample_field_fused` but with the parity tables prebuilt by the
     caller (hoisted out of ray-chunk loops: build once per scene instead of
     per chunk). The ENTIRE field gradient is produced by this op's backward
     (corner8 scatter) — pass `jax.lax.stop_gradient`-ed tables so autodiff
     doesn't also trace through their construction.
+
+    `live_cap` > 0 enables the exact per-ray live-sample compaction of the
+    backward scatter (see `_corner8_scatter_grad`); pts_norm must then be
+    (R, S, 3)-shaped with samples along its middle axis.
     """
-    fn = _make_table_sampler(field.shape, field.dtype.name, t_e.dtype.name)
+    fn = _make_table_sampler(
+        field.shape, field.dtype.name, t_e.dtype.name, live_cap
+    )
     return fn(field, t_e, t_o, pts_norm)
 
 

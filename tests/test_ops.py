@@ -270,6 +270,53 @@ class TestFieldSample:
         scale = np.abs(np.asarray(exact)) + 1.0
         assert (err / scale).max() < 3e-2
 
+    def _live_cap_grads(self, live_per_ray, cap, seed=9):
+        """Gradient of sample_tables_fused with a SPARSE cotangent (most
+        samples dead, like the render's post-early-exit weights) at the
+        given live_cap."""
+        from preworld_tpu.ops.field_sample import (
+            build_parity_tables,
+            sample_tables_fused,
+        )
+
+        rng = np.random.default_rng(seed)
+        field = jnp.asarray(rng.normal(size=(9, 7, 5, 21)).astype(np.float32))
+        R, S = 24, 33
+        pts = jnp.asarray(
+            rng.uniform(-1.4, 1.4, size=(R, S, 3)).astype(np.float32)
+        )
+        cot = np.zeros((R, S, 21), np.float32)
+        for r in range(R):
+            k = live_per_ray[r % len(live_per_ray)]
+            pos = rng.choice(S, size=k, replace=False)
+            cot[r, pos] = rng.normal(size=(k, 21))
+        cot = jnp.asarray(cot)
+        t_e, t_o = build_parity_tables(field)
+        te = jax.lax.stop_gradient(t_e)
+        to = jax.lax.stop_gradient(t_o)
+        return jax.grad(
+            lambda f: (
+                cot * sample_tables_fused(f, te, to, pts, cap)
+            ).sum()
+        )(field)
+
+    def test_live_cap_compaction_exact(self):
+        """Backward live-sample compaction (cap sufficient) == full scatter."""
+        full = self._live_cap_grads([3, 7, 0, 12], 0)
+        compact = self._live_cap_grads([3, 7, 0, 12], 16)
+        np.testing.assert_allclose(
+            np.asarray(compact), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+
+    def test_live_cap_overflow_falls_back(self):
+        """A single overflowing ray flips the lax.cond to the full scatter —
+        results stay exact (no dropped gradient)."""
+        full = self._live_cap_grads([3, 30, 2], 0, seed=11)
+        capped = self._live_cap_grads([3, 30, 2], 8, seed=11)
+        np.testing.assert_allclose(
+            np.asarray(capped), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+
 
 class TestRender:
     def test_chunked_render_matches_dense(self):
