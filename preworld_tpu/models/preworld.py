@@ -293,10 +293,20 @@ class PreWorld(nn.Module):
             # in-segment compute would re-run the full plane sweep in every
             # backward pass (reference runs it under torch.no_grad,
             # `view_transformer.py:630-631` — the TPU analog of "no_grad
-            # work must not sit under activation checkpointing")
-            stereo["cost_volume"] = compute_stereo_cost_volume(
-                self._cv_frustum, cams, stereo, c.input_size, bias=5.0,
-            )
+            # work must not sit under activation checkpointing"). Bias and
+            # kernel toggles come from the view transformer so this
+            # precompute and the VT's own in-module path (used by
+            # predict_sequential) share one source of truth. With no
+            # stereo reference frame (extra_ref_frames=0) prev_feat is
+            # None: skip the precompute — the VT then takes its
+            # zeros-cost-volume branch (view_transformer.py:171-174).
+            if stereo["prev_feat"] is not None:
+                stereo["cost_volume"] = compute_stereo_cost_volume(
+                    self._cv_frustum, cams, stereo, c.input_size,
+                    bias=self.view_transformer.cost_volume_bias,
+                    use_fused=self.view_transformer.use_fused_cost_volume,
+                    use_table=self.view_transformer.use_table_cost_volume,
+                )
             if align_after_vt and not key_frame:
                 # reference test-time `align_after_view_transformation`
                 # (`tools/test.py:211`, `bevdet.py:334-362`): pool the

@@ -172,6 +172,7 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
     the kernel must re-DMA the window band.
     """
     assert Wp - SW <= 15 * 16, (Wp, SW)  # xs16 packing range
+    assert H - WH <= 127, (H, WH)  # seg_y0 packs into 7 bits of `info`
     BN = gx.shape[0]
     big = jnp.float32(1e6)
     xt = gx.reshape(BN, D, n_th, TH, n_tw, TW)
@@ -262,9 +263,15 @@ def plane_sweep_supported(feat_shape) -> bool:
     multiple of 128 lanes — the y-band window DMA slices the source on a
     C-minor layout, and TPU DMA slices must be lane-aligned on the minor
     dim (flagship: H=128, C=128). Callers fall back to the gather-table
-    path otherwise (tiny test configs, odd-channel backbones)."""
+    path otherwise (tiny test configs, odd-channel backbones).
+
+    H is additionally capped at 175: the per-tile-depth-segment window
+    start seg_y0 in [0, H - WH] is packed into 7 bits of the prefetched
+    info word (`_pack_info`), so H - WH (WH = min(48, H)) must be <= 127
+    or the start would silently wrap and warp the wrong y-band."""
     _, H, _, C = feat_shape
-    return H % TH == 0 and C % 128 == 0
+    wh = min(48, H)
+    return H % TH == 0 and C % 128 == 0 and H - wh <= 127
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "interpret"))

@@ -45,6 +45,7 @@ def build_nerf_config(nerf_cfg: Dict[str, Any], world_len: int) -> NerfHeadConfi
         weight_distortion=float(nerf_cfg.get("weight_distortion", 0.01)),
         table_dtype=str(nerf_cfg.get("table_dtype", "auto")),
         ray_chunk=int(nerf_cfg.get("ray_chunk", 0)),
+        bwd_live_cap=int(nerf_cfg.get("bwd_live_cap", 0)),
     )
 
 

@@ -33,3 +33,16 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end tests (CLI chains)"
     )
+
+
+def run_cli(path, argv):
+    """Run a tools/ CLI in-process (argv-swapped runpy), as a user would."""
+    import runpy
+    import sys
+
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old

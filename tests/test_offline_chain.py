@@ -14,7 +14,6 @@ Reference chain: `tools/create_data_bevdet.py:42-110`,
 
 import json
 import os
-import runpy
 import sys
 
 import jax
@@ -141,13 +140,7 @@ def build_fixture(root):
             json.dump(rows, f)
 
 
-def _run_cli(path, argv):
-    old = sys.argv
-    sys.argv = [path] + argv
-    try:
-        runpy.run_path(path, run_name="__main__")
-    finally:
-        sys.argv = old
+from conftest import run_cli as _run_cli  # noqa: E402
 
 
 @pytest.mark.slow

@@ -14,7 +14,6 @@ Reference chain being proven: `configs/preworld/nuscenes/bevstereo-occ.py:257`
 import json
 import os
 import pickle
-import runpy
 import sys
 
 import jax
@@ -51,13 +50,7 @@ runner = dict(max_epochs=1)
 """
 
 
-def _run_cli(path, argv):
-    old = sys.argv
-    sys.argv = [path] + argv
-    try:
-        runpy.run_path(path, run_name="__main__")
-    finally:
-        sys.argv = old
+from conftest import run_cli as _run_cli  # noqa: E402
 
 
 @pytest.mark.slow

@@ -121,12 +121,20 @@ def main():
         logging.info("folded conv+BN pairs for eval")
 
     aavt = not args.no_aavt
+    # BEVStereo4DOCC.predict has no align_after_vt toggle (the reference's
+    # --no-aavt likewise only affects the PreWorld/BEVDet4D eval path)
+    import inspect
+
+    has_aavt = "align_after_vt" in inspect.signature(
+        type(model).predict
+    ).parameters
 
     @jax.jit
     def predict_fn(params, batch_stats, b):
+        kw = {"align_after_vt": aavt} if has_aavt else {}
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, b,
-            method=lambda m, bb: m.predict(bb, align_after_vt=aavt),
+            method=lambda m, bb: m.predict(bb, **kw),
         )
 
     dump_fn = None
