@@ -47,3 +47,43 @@ def test_bevstereo_occ_eval_cli(tmp_path, capsys):
     )
     out = capsys.readouterr()
     assert "miou" in (out.out + out.err).lower()
+
+
+TRAJ_TINY_CFG = """
+grid_config = dict(
+    x=[-8.0, 8.0, 0.8], y=[-8.0, 8.0, 0.8], z=[-1.0, 5.4, 0.8],
+    depth=[1.0, 9.0, 0.5],
+)
+data_config = dict(input_size=(64, 128), Ncams=1)
+model = dict(
+    type="PreWorld4DTraj",
+    backbone="swin",
+    swin=dict(embed_dims=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+              window_size=4),
+    neck_out_channels=24,
+    num_trans_channels=8,
+    out_dim=8,
+    if_post_finetune=True,
+    if_render=False,
+    use_lss_depth_loss=False,
+    test_future=6,
+)
+data = dict(samples_per_gpu=1, workers_per_gpu=0,
+            train=dict(max_ray_nums=64))
+log_interval = 1
+runner = dict(max_epochs=1)
+"""
+
+
+@pytest.mark.slow
+def test_temporal_eval_cli(tmp_path, capsys):
+    """tools/test_temporal.py (reference horizon protocol) on a tiny 4D
+    traj model, synthetic data, fresh init."""
+    cfg_path = tmp_path / "traj_tiny.py"
+    cfg_path.write_text(TRAJ_TINY_CFG)
+    run_cli(
+        os.path.join(REPO, "tools", "test_temporal.py"),
+        [str(cfg_path), "--synthetic", "--num-samples", "2"],
+    )
+    out = capsys.readouterr()
+    assert "miou" in (out.out + out.err).lower()
