@@ -126,7 +126,10 @@ def synthetic_batch(
     rays[..., 0] = rng.integers(0, W, (B, num_rays))
     rays[..., 1] = rng.integers(0, H, (B, num_rays))
     rays[..., 2] = rng.uniform(1.0, 9.0, (B, num_rays))  # gt depth
-    rays[..., 3] = rng.integers(0, 17, (B, num_rays))  # gt semantic
+    # gt semantic: only the num_classes-1 SEMANTIC classes appear on rays
+    # (the empty class never projects to a pixel) — 11 for nuPlan, 17 for
+    # nuScenes
+    rays[..., 3] = rng.integers(0, cfg.num_classes - 1, (B, num_rays))
     origins = rng.uniform(-1.0, 1.0, (B, num_rays, 3))
     origins[..., 2] = 1.5
     dirs = rng.normal(size=(B, num_rays, 3))

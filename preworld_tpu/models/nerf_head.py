@@ -259,11 +259,15 @@ def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg, ray_mask):
 
 def _weighted_ce(logits, targets, class_w, mask):
     """torch CrossEntropyLoss(weight=w, reduction='mean') with a ray mask:
-    sum(w[t] * ce) / sum(w[t]) over masked rays."""
+    sum(w[t] * ce) / sum(w[t]) over masked rays.
+
+    Labels are clipped BEFORE the log-prob gather: masked rays may carry
+    out-of-range labels, and an OOB take_along_axis under jit fills NaN,
+    which would poison the mean through NaN * 0."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    t = targets.astype(jnp.int32)
+    t = jnp.clip(targets.astype(jnp.int32), 0, class_w.shape[0] - 1)
     ce = -jnp.take_along_axis(logp, t[:, None], axis=1)[:, 0]
-    w = class_w[jnp.clip(t, 0, class_w.shape[0] - 1)] * mask
+    w = class_w[t] * mask
     return (ce * w).sum() / jnp.maximum(w.sum(), 1e-8)
 
 
