@@ -165,13 +165,6 @@ class PreWorld(nn.Module):
         self.img_neck = FPN_LSS(
             out_channels=c.neck_out_channels, dtype=c.dtype, name="img_neck"
         )
-        # cv-resolution frustum for the out-of-remat cost-volume compute
-        # (numpy at trace time; mirrors the view transformer's cv_frustum)
-        from ..geometry.frustum import create_frustum
-
-        self._cv_frustum = jnp.asarray(
-            create_frustum(c.grid, c.input_size, 4)
-        )
         self.view_transformer = ViewT(
             grid=c.grid,
             input_size=c.input_size,
@@ -182,6 +175,16 @@ class PreWorld(nn.Module):
             cost_volume_bias=5.0,
             dtype=c.dtype,
             name="view_transformer",
+        )
+        # cv-resolution frustum for the out-of-remat cost-volume compute
+        # (numpy at trace time) — built from the view transformer's own
+        # cv_downsample so the two can never drift apart
+        from ..geometry.frustum import create_frustum
+
+        self._cv_frustum = jnp.asarray(
+            create_frustum(
+                c.grid, c.input_size, self.view_transformer.cv_downsample
+            )
         )
         nt = c.num_trans_channels
         self.pre_process_net = Res3D(

@@ -131,22 +131,29 @@ def _cv_kernel(
                 # OOB sentinel)
                 xrel = xc - xs_row.astype(jnp.float32)  # (1, TW)
                 oxT = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - xrel))
-                oxT = oxT.astype(win.dtype)  # (SW, TW)
 
-                acc = jnp.zeros((curr_r.shape[0], TW), jnp.float32)
+                # ONE K = NY*SW contraction instead of NY small ones: the
+                # per-(row, depth) MXU issue rate is the kernel's floor
+                # (~25k grid steps x 8 rows x NY matmuls/pair), so fold
+                # the bilinear y tent-weight of each window row into the
+                # one-hot columns and stack the NY rows along K. Rounding
+                # the PRODUCT wx*wy to win.dtype is one rounding, the same
+                # error class as the old path's bf16 wx times f32 wy.
+                rows = []
+                weights = []
                 for yy in range(NY):
                     ridx = y0r + yy
-                    Ay = win[ridx, pl.ds(xs_row, SW), :]  # (SW, C)
+                    rows.append(win[ridx, pl.ds(xs_row, SW), :])  # (SW, C)
                     row_abs = (y0 + ridx).astype(jnp.float32)
-                    # tent = exact bilinear y-weight of the two adjacent
-                    # rows
                     wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - row_abs))
-                    t1 = jax.lax.dot_general(
-                        Ay, oxT,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (C, TW)
-                    acc = acc + t1 * wy
+                    weights.append(oxT * wy)
+                A = jnp.concatenate(rows, axis=0)  # (NY*SW, C)
+                O = jnp.concatenate(weights, axis=0).astype(win.dtype)
+                acc = jax.lax.dot_general(
+                    A, O,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, TW)
                 invalid = (acc[0:1, :] == 0.0).astype(jnp.float32)
                 cost = jnp.sum(
                     jnp.abs(curr_r - acc), axis=0, keepdims=True
@@ -268,10 +275,19 @@ def plane_sweep_supported(feat_shape) -> bool:
     H is additionally capped at 175: the per-tile-depth-segment window
     start seg_y0 in [0, H - WH] is packed into 7 bits of the prefetched
     info word (`_pack_info`), so H - WH (WH = min(48, H)) must be <= 127
-    or the start would silently wrap and warp the wrong y-band."""
-    _, H, _, C = feat_shape
+    or the start would silently wrap and warp the wrong y-band.
+
+    W is capped so the per-row x sub-window start fits its 4-bit/16-px
+    packing (`_pack_info`'s xs16: Wp - SW <= 240 with SW = min(224, Wp)
+    and Wp the 128-padded width floored at 256) — i.e. padded widths up
+    to 464 px (flagship cv width 352)."""
+    _, H, W, C = feat_shape
     wh = min(48, H)
-    return H % TH == 0 and C % 128 == 0 and H - wh <= 127
+    wp = max(-(-W // TW) * TW, 256)
+    return (
+        H % TH == 0 and C % 128 == 0 and H - wh <= 127
+        and wp - min(224, wp) <= 15 * 16
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "interpret"))

@@ -28,19 +28,58 @@ INFER_KEYS = (
 )
 
 
+def rank_padded_indices(n: int, rank: Optional[int] = None,
+                        world: Optional[int] = None):
+    """Per-process sample indices for multi-host eval, padded to EQUAL
+    length across processes.
+
+    The sharded predict in evaluate_miou* is an SPMD program over global
+    arrays: every process must execute the same number of batches, or the
+    short ranks finish early and leave the long ranks blocked inside a
+    collective (the reference avoids this the same way —
+    DistributedSampler's round-up padding, `apis/test.py:63-80`). Each
+    process gets exactly ceil(n/world) entries: its rank-strided real
+    indices followed by repeats of its last real index flagged
+    valid=False, so the repeats run inference but are never scored.
+
+    Yields (index, valid). Attach the flag to each sample dict as
+    `"_valid"` — `_batched` strips it and excludes padding from n_valid.
+    """
+    if rank is None:
+        rank = jax.process_index()
+    if world is None:
+        world = jax.process_count()
+    per = -(-n // world) if n > 0 else 0
+    real = list(range(rank, n, world))
+    pad_src = real[-1] if real else 0
+    for j in range(per):
+        if j < len(real):
+            yield real[j], True
+        else:
+            yield pad_src, False
+
+
 def _batched(samples: Iterable[Dict[str, np.ndarray]], batch_size: int):
     """Yield (collated_batch, n_valid) with the final batch padded by
-    repeating its last sample — keeps jit shapes static."""
+    repeating its last sample — keeps jit shapes static.
+
+    Samples may carry a `_valid` bool (multi-host padding from
+    rank_padded_indices); it is stripped before collation and excluded
+    from n_valid. Invalid samples must trail valid ones within a batch —
+    true by construction, since padding is appended at stream end."""
     chunk = []
+    n_valid = 0
     for s in samples:
+        s = dict(s)
+        if s.pop("_valid", True):
+            n_valid += 1
         chunk.append(s)
         if len(chunk) == batch_size:
-            yield _collate(chunk), batch_size
-            chunk = []
+            yield _collate(chunk), n_valid
+            chunk, n_valid = [], 0
     if chunk:
-        n = len(chunk)
-        chunk = chunk + [chunk[-1]] * (batch_size - n)
-        yield _collate(chunk), n
+        chunk = chunk + [chunk[-1]] * (batch_size - len(chunk))
+        yield _collate(chunk), n_valid
 
 
 def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -46,9 +46,16 @@ def fold_conv_bn(params, batch_stats, eps: float = 1e-5):
             conv["kernel"] = jnp.asarray(
                 kernel * scale, p["Conv_0"]["kernel"].dtype
             )
+            # a biased conv folds its bias through the BN scale too:
+            # scale*(k*x + b - mean) + beta == scale*k*x + (beta +
+            # scale*(b - mean)); zero the conv bias and carry it in BN's
+            folded_b = np.zeros_like(beta)
+            if "bias" in conv:
+                folded_b = scale * np.asarray(conv["bias"], np.float32)
+                conv["bias"] = jnp.zeros_like(conv["bias"])
             bn_p["scale"] = jnp.ones_like(bn_p["scale"])
             bn_p["bias"] = jnp.asarray(
-                beta - mean * scale, bn_p["bias"].dtype
+                beta - mean * scale + folded_b, bn_p["bias"].dtype
             )
             bn_s["mean"] = jnp.zeros_like(bn_s["mean"])
             bn_s["var"] = jnp.full_like(bn_s["var"], 1.0 - eps)

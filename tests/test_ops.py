@@ -955,3 +955,27 @@ class TestFusedSwinMlp:
             (rng.random(300) > 0.3).astype(np.float32) / 0.7
         )
         self._grad_case(M=300, block_rows=128, row_scale=rs, seed=2)
+
+
+class TestPlaneSweepSupportedGate:
+    def test_width_gate_matches_pack_info_assert(self):
+        """plane_sweep_supported must reject every shape plane_sweep_cost
+        would assert on (auto-selection promises a graceful fallback)."""
+        from preworld_tpu.ops.cost_volume_pallas import (
+            TW,
+            plane_sweep_supported,
+        )
+
+        def pack_ok(W):
+            wp = max(-(-W // TW) * TW, 256)
+            return wp - min(224, wp) <= 15 * 16  # _pack_info xs16 assert
+
+        for W in (64, 128, 224, 352, 440, 464, 465, 512, 1024):
+            sup = plane_sweep_supported((1, 128, W, 128))
+            assert sup == pack_ok(W), (W, sup)
+        # flagship stays on the fused path; too-wide falls back cleanly
+        assert plane_sweep_supported((6, 128, 352, 128))
+        assert not plane_sweep_supported((6, 128, 512, 128))
+        # existing gates still active
+        assert not plane_sweep_supported((6, 126, 352, 128))  # H % 8
+        assert not plane_sweep_supported((6, 128, 352, 96))   # C % 128

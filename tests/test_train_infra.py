@@ -188,3 +188,88 @@ class TestWRSClamp:
         assert np.all(np.isfinite(w))
         assert w[0] == pytest.approx(1.0, abs=1e-5)
         assert w.max() <= np.float32(np.exp(60.0))
+
+
+class TestRankPaddedIndices:
+    def test_equal_length_and_coverage(self):
+        from preworld_tpu.train.evaluate import rank_padded_indices
+
+        for n, world in [(5, 2), (6, 4), (3, 8), (8, 8), (1, 2), (7, 3)]:
+            per_rank = [
+                list(rank_padded_indices(n, rank=r, world=world))
+                for r in range(world)
+            ]
+            # SPMD safety: every process gets the same number of entries
+            lens = {len(p) for p in per_rank}
+            assert lens == {-(-n // world)}, (n, world, lens)
+            # valid entries partition range(n) exactly once
+            valid = sorted(
+                i for p in per_rank for i, v in p if v
+            )
+            assert valid == list(range(n)), (n, world, valid)
+            # padding repeats a real index and is flagged invalid
+            for p in per_rank:
+                for i, v in p:
+                    assert 0 <= i < max(n, 1)
+
+    def test_batched_strips_valid_flag(self):
+        from preworld_tpu.train.evaluate import _batched
+
+        samples = [
+            {"x": np.full((2,), i), "_valid": i < 3} for i in range(4)
+        ]
+        batches = list(_batched(iter(samples), 2))
+        assert len(batches) == 2
+        (b0, n0), (b1, n1) = batches
+        assert "_valid" not in b0 and "_valid" not in b1
+        assert (n0, n1) == (2, 1)  # last sample is padding -> not scored
+        # caller's dicts must not be mutated
+        assert all("_valid" in s for s in samples)
+
+
+class TestFoldBiasedConv:
+    def test_fold_conv_bn_biased_conv_exact(self):
+        """A Conv_0 with use_bias=True followed by BatchNorm_0 must fold
+        exactly: the conv bias rides through the BN scale."""
+        from preworld_tpu.utils.fold_bn import fold_conv_bn
+
+        class Biased(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = nn.Conv(8, (3, 3), use_bias=True)(x)
+                x = nn.BatchNorm(use_running_average=not train)(x)
+                return x
+
+        m = Biased()
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 6, 6, 4)), jnp.float32
+        )
+        variables = m.init(jax.random.PRNGKey(0), x)
+        import flax
+
+        p = flax.core.unfreeze(variables["params"])
+        s = flax.core.unfreeze(variables["batch_stats"])
+        # make every fold term non-trivial
+        rng = np.random.default_rng(1)
+        p["Conv_0"]["bias"] = jnp.asarray(
+            rng.normal(size=(8,)), jnp.float32
+        )
+        p["BatchNorm_0"]["scale"] = jnp.asarray(
+            1.0 + 0.3 * rng.normal(size=(8,)), jnp.float32
+        )
+        p["BatchNorm_0"]["bias"] = jnp.asarray(
+            rng.normal(size=(8,)), jnp.float32
+        )
+        s["BatchNorm_0"]["mean"] = jnp.asarray(
+            rng.normal(size=(8,)), jnp.float32
+        )
+        s["BatchNorm_0"]["var"] = jnp.asarray(
+            0.5 + rng.uniform(size=(8,)), jnp.float32
+        )
+        ref = m.apply({"params": p, "batch_stats": s}, x)
+        fp, fs = fold_conv_bn(p, s)
+        assert float(jnp.abs(fp["Conv_0"]["bias"]).max()) == 0.0
+        out = m.apply({"params": fp, "batch_stats": fs}, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

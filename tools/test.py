@@ -80,10 +80,14 @@ def main():
             data_root=data_cfg.get("data_root", ""),
         )
         n = args.num_samples or len(dataset)
-        # rank-strided shard of the val set (reference DistributedSampler
-        # in the test loop, apis/test.py:63-80)
-        rank, world = jax.process_index(), jax.process_count()
-        samples = (dataset[i] for i in range(rank, n, world))
+        # rank-strided shard of the val set, padded so every process runs
+        # the same number of sharded predict calls (reference
+        # DistributedSampler round-up, apis/test.py:63-80)
+        from preworld_tpu.train.evaluate import rank_padded_indices
+
+        samples = (
+            {**dataset[i], "_valid": v} for i, v in rank_padded_indices(n)
+        )
 
     mesh = make_mesh(n_data=len(jax.devices()), n_seq=1)
     tx = make_optimizer()
@@ -97,7 +101,8 @@ def main():
 
     state = create_train_state(
         model,
-        {k: jnp.asarray(v[None]) for k, v in first.items()},
+        {k: jnp.asarray(v[None]) for k, v in first.items()
+         if k != "_valid"},
         tx,
         jax.random.PRNGKey(0),
     )

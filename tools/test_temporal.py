@@ -50,24 +50,28 @@ def main():
     from preworld_tpu.models.preworld_traj import PreWorld4DTraj
     from preworld_tpu.parallel import make_mesh
     from preworld_tpu.train import create_train_state, make_optimizer
-    from preworld_tpu.train.evaluate import evaluate_miou_temporal
+    from preworld_tpu.train.evaluate import (
+        evaluate_miou_temporal,
+        rank_padded_indices,
+    )
     from preworld_tpu.train.loop import maybe_resume
 
     cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
     base = build_model(cfg)
     model = PreWorld4DTraj(base.cfg)
 
-    rank, world = jax.process_index(), jax.process_count()
-
+    # rank-strided + padded to equal per-process length: unequal batch
+    # counts would deadlock the sharded predict (see rank_padded_indices)
     if args.synthetic:
         from preworld_tpu.data.synthetic import synthetic_batch
 
         n = args.num_samples or 2
 
         def sample_iter():
-            for i in range(rank, n, world):
+            for i, v in rank_padded_indices(n):
                 s = synthetic_batch(base.cfg, 1, 256, seed=i, with_traj=True)
-                out = {k: v[0] for k, v in s.items()}
+                out = {k: v2[0] for k, v2 in s.items()}
+                out["_valid"] = v
                 for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
                     out[f"gt_h{h}"] = (
                         s["temporal_semantics"][0, f - 1] if f > 0
@@ -94,8 +98,9 @@ def main():
         def sample_iter():
             from preworld_tpu.data.pipeline import load_occ_gt
 
-            for i in range(rank, n, world):
+            for i, v in rank_padded_indices(n):
                 s = dict(dataset[i])
+                s["_valid"] = v
                 index = dataset.temp2nusc_map[i]
                 for h, f in zip((0, 1, 2, 3), (0, 2, 4, 6)):
                     finfo = dataset.infos[
@@ -123,7 +128,8 @@ def main():
 
     steps = (0, 1, 3, 5) if args.protocol == "reference" else (0, 2, 4, 6)
     print(evaluate_miou_temporal(
-        model, state, samples, mesh, rollout_steps=steps, num_classes=18,
+        model, state, samples, mesh, rollout_steps=steps,
+        num_classes=base.cfg.num_classes,
     ))
 
 
