@@ -186,6 +186,14 @@ class PreWorld(nn.Module):
                 c.grid, c.input_size, self.view_transformer.cv_downsample
             )
         )
+        # pooling-resolution frustum: extract_voxel_feat precomputes the
+        # (gradient-free) voxel ids OUTSIDE the remat'd view transformer —
+        # same hoist as the cost volume above
+        self._pool_frustum = jnp.asarray(
+            create_frustum(
+                c.grid, c.input_size, self.view_transformer.downsample
+            )
+        )
         nt = c.num_trans_channels
         self.pre_process_net = Res3D(
             num_layer=(1,), num_channels=(nt,), stride=(1,),
@@ -323,7 +331,26 @@ class PreWorld(nn.Module):
                     own_inv @ batch["ego2globals"][:, fid]
                     @ batch["sensor2egos"][:, fid]
                 )
-            voxel, depth = self.view_transformer(feat, cams, stereo, train)
+            # pooling voxel ids are pure camera geometry (no params, no
+            # gradient): compute them outside the remat boundary too, so
+            # the backward re-executes neither the 4x4 chains nor the
+            # 1.5M-point quantization (they become saved segment inputs)
+            from ..geometry.frustum import frustum_to_lidar, voxel_indices
+
+            pool_vox = voxel_indices(
+                frustum_to_lidar(
+                    self._pool_frustum,
+                    cams["sensor2keyego"],
+                    cams["intrin"],
+                    cams["post_rot"],
+                    cams["post_tran"],
+                    cams["bda"],
+                ),
+                c.grid,
+            )
+            voxel, depth = self.view_transformer(
+                feat, cams, stereo, train, pool_vox=pool_vox
+            )
             voxel = self.pre_process_net(voxel, train)[0]
             if align_after_vt and not key_frame:
                 from .temporal_align import shift_voxel_feature
