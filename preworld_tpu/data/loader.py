@@ -90,14 +90,33 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that keeps checking the stop event: an abandoned
+            consumer (early break from the batch loop) must not park this
+            thread in q.put() forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(collate(samples))
-            q.put(None)
+            # dataset errors (corrupt file, missing npz) are shipped to the
+            # consumer and re-raised there — a dead producer that never
+            # enqueues its sentinel would block the train loop forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        if not _put(collate(samples)):
+                            return
+                _put(None)
+            except BaseException as e:  # noqa: BLE001 - forwarded, not hidden
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -106,6 +125,13 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # drain one slot so a producer blocked in _put can observe stop
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass

@@ -28,10 +28,10 @@ NUPLAN_GRID_CONFIG = dict(
     depth=[1.0, 45.0, 0.5],
 )
 
-# placeholder class-balance weights: nuPlan occupancy frequencies are not
-# published; background/free dominate like nuScenes, so reuse a log-balanced
-# profile over the 11 semantic classes (head classes down-weighted). The
-# reference's branch zeroes classes 1:4 and 11: (`preworld.py:63-65`).
+# 12-class CE weights consumed by `models.nerf_head.voxel_class_weights`:
+# uniform over live classes with the reference's zeroed placeholders —
+# its branch zeroes classes 1:4 and 11: (`preworld.py:63-65`; the balanced
+# frequency table it references is undefined/unshipped).
 NUPLAN_CLASS_WEIGHT_MASK = np.array(
     [1, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 0], np.float32
 )

@@ -133,7 +133,10 @@ def stereo_cost_volume(
         warped = grid_sample_2d(prev_nchw, grid_c, align_corners=True)
         warped = warped.reshape(BN, C, depth_chunk, H, W)
         diff = jnp.abs(curr_nchw[:, :, None] - warped).sum(axis=1)
-        invalid = warped[:, 0] == 0.0
+        # reference checks channel 0 of the LAST 4-channel group (its
+        # `wrap_prev` holds the final group after the loop,
+        # view_transformer.py:600-601) — global channel C-4
+        invalid = warped[:, max(C - 4, 0)] == 0.0
         return diff + invalid.astype(diff.dtype) * bias
 
     cost = jax.lax.map(one_chunk, grid_chunks)  # (D/ck, BN, ck, H, W)
@@ -171,7 +174,8 @@ def stereo_cost_volume_expanded(
             warped = sample_corner_table_2d(table, (H, W), x, y)
             warped = warped.reshape(depth_chunk, H, W, C)
             diff = jnp.abs(curr[None] - warped).sum(-1)
-            invalid = warped[..., 0] == 0.0
+            # channel C-4: see stereo_cost_volume (reference last-group quirk)
+            invalid = warped[..., max(C - 4, 0)] == 0.0
             return diff + invalid.astype(diff.dtype) * bias
 
         gc = gcam.reshape(D // depth_chunk, depth_chunk, H, W, 2)

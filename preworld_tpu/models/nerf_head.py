@@ -47,19 +47,26 @@ def nusc_class_weights(num: int = 17) -> np.ndarray:
     return (1.0 / np.log(NUSC_CLASS_FREQUENCIES[:num] + 0.001)).astype(np.float32)
 
 
-def voxel_class_weights(num_classes: int) -> np.ndarray:
+def voxel_class_weights(num_classes: int, balance: bool = True) -> np.ndarray:
     """Per-class CE weights incl. the zeroed empty class.
 
-    18-class Occ3D: nuScenes log-balance profile (`preworld.py:60-68`);
-    other taxonomies (nuPlan 12-class): uniform over semantic classes with
-    zero empty — the reference's nuPlan branch is broken/unshipped
-    (`preworld.py:62-65` references an undefined table), so uniform is the
-    sane default; the placeholder classes get masked by the dataset adapter.
+    18-class Occ3D: nuScenes log-balance profile when `balance` (reference
+    `preworld.py:60-68`; balance_cls_weight=False gives the reference's
+    uniform ones(17)/17 ablation). nuPlan 12-class: uniform with the
+    placeholder classes zeroed — the reference's nuPlan branch zeroes
+    classes 1:4 and 11: (`preworld.py:63-65`; its frequency table is
+    undefined/unshipped, so uniform over the live classes is the sane
+    stand-in for the balanced profile).
     """
-    if num_classes == 18:
+    if num_classes == 12:
+        from ..data.nuplan import NUPLAN_CLASS_WEIGHT_MASK
+
+        return NUPLAN_CLASS_WEIGHT_MASK.copy()
+    if balance and num_classes == 18:
         w = nusc_class_weights(17)
     else:
-        w = np.ones(num_classes - 1, np.float32)
+        n = num_classes - 1
+        w = np.ones(n, np.float32) / n
     return np.concatenate([w, np.zeros(1, np.float32)])
 
 

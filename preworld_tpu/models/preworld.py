@@ -482,16 +482,15 @@ class PreWorld(nn.Module):
         # identical every streaming step (sensor2keyego is ego-relative), so
         # bake them once (the reference `accelerate` cached-ranks analog,
         # `view_transformer.py:155-174,263-296`)
-        from ..geometry.frustum import create_frustum, frustum_to_lidar
+        from ..geometry.frustum import frustum_to_lidar
         from ..geometry.frustum import voxel_indices as _voxel_indices
 
         s2e = batch["sensor2egos"]
         e2g = batch["ego2globals"]
         s2keyego = jnp.linalg.inv(e2g[:, 0:1]) @ e2g @ s2e
-        frustum16 = jnp.asarray(create_frustum(c.grid, c.input_size, 16))
         coor = frustum_to_lidar(
-            frustum16, s2keyego, batch["intrins"], batch["post_rots"],
-            batch["post_trans"], batch["bda"],
+            self._pool_frustum, s2keyego, batch["intrins"],
+            batch["post_rots"], batch["post_trans"], batch["bda"],
         )
         return {
             "bev_feat": jnp.zeros(
@@ -526,7 +525,9 @@ class PreWorld(nn.Module):
         if c.if_post_finetune:
             occ_logits = self.occupancy_logits(voxel_feats, train=train)
             target = batch["voxel_semantics"].astype(jnp.int32)
-            cls_w = jnp.asarray(voxel_class_weights(c.num_classes))
+            cls_w = jnp.asarray(
+                voxel_class_weights(c.num_classes, c.balance_cls_weight)
+            )
             if c.use_focal_loss:
                 losses["loss_voxel_ce"] = (
                     c.weight_voxel_ce

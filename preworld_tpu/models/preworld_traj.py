@@ -108,7 +108,9 @@ class PreWorld4DTraj(PreWorld):
     # ------------------------------------------------------------------
     def _voxel_losses(self, occ_logits, target, suffix):
         c = self.cfg
-        cls_w = jnp.asarray(voxel_class_weights(c.num_classes))
+        cls_w = jnp.asarray(
+            voxel_class_weights(c.num_classes, c.balance_cls_weight)
+        )
         out = {}
         if c.use_focal_loss:
             out["loss_voxel_ce" + suffix] = (

@@ -120,7 +120,9 @@ class LSSViewTransformer(nn.Module):
     cv_downsample: int = 4
     stereo: bool = True
     cost_volume_bias: float = 5.0
-    depth_loss_weight: float = 0.05
+    # NOTE: the depth-supervision weight lives in PreWorldConfig
+    # (depth_loss_weight, consumed by the loss fns) — deliberately NOT
+    # duplicated here
     aspp_mid_channels: int = 96
     use_pallas_pool: Optional[bool] = None  # None -> auto (TPU only)
     # fused Pallas plane-sweep cost volume (r3 TPU default; see

@@ -154,7 +154,11 @@ def _cv_kernel(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (C, TW)
-                invalid = (acc[0:1, :] == 0.0).astype(jnp.float32)
+                # invalid-warp probe channel: the reference checks channel
+                # 0 of the LAST 4-channel group (= global C-4), not global
+                # channel 0 (view_transformer.py:600-601)
+                ci = max(acc.shape[0] - 4, 0)
+                invalid = (acc[ci : ci + 1, :] == 0.0).astype(jnp.float32)
                 cost = jnp.sum(
                     jnp.abs(curr_r - acc), axis=0, keepdims=True
                 )

@@ -43,6 +43,10 @@ def build_nerf_config(nerf_cfg: Dict[str, Any], world_len: int) -> NerfHeadConfi
         weight_color=float(nerf_cfg.get("weight_color", 1.0)),
         weight_entropy_last=float(nerf_cfg.get("weight_entropy_last", 0.01)),
         weight_distortion=float(nerf_cfg.get("weight_distortion", 0.01)),
+        fast_color_thres=float(nerf_cfg.get("fast_color_thres", 1e-7)),
+        balance_cls_weight=bool(nerf_cfg.get("balance_cls_weight", True)),
+        max_depth=float(nerf_cfg.get("max_depth", 52.0)),
+        variance_focus=float(nerf_cfg.get("variance_focus", 0.85)),
         table_dtype=str(nerf_cfg.get("table_dtype", "auto")),
         ray_chunk=int(nerf_cfg.get("ray_chunk", 0)),
         bwd_live_cap=int(nerf_cfg.get("bwd_live_cap", 0)),
@@ -77,6 +81,8 @@ def build_model(cfg) -> PreWorld:
         if_render=bool(m.get("if_render", True)),
         if_post_finetune=bool(m.get("if_post_finetune", False)),
         use_lss_depth_loss=bool(m.get("use_lss_depth_loss", True)),
+        depth_loss_weight=float(m.get("depth_loss_weight", 0.05)),
+        balance_cls_weight=bool(m.get("balance_cls_weight", True)),
         weight_voxel_ce=float(m.get("weight_voxel_ce", 1.0)),
         weight_voxel_sem_scal=float(m.get("weight_voxel_sem_scal", 1.0)),
         weight_voxel_geo_scal=float(m.get("weight_voxel_geo_scal", 1.0)),

@@ -385,3 +385,53 @@ class TestTrajExtraPkls:
         s = ds[0]
         np.testing.assert_allclose(s["ego_states"], np.arange(21, dtype=float))
         np.testing.assert_allclose(s["temporal_trajs"], 0.5)
+
+
+class TestLoaderRobustness:
+    class _BoomDataset:
+        """10 good samples, sample 5 raises (corrupt-file stand-in)."""
+
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample 5")
+            return {"x": np.full((3,), float(i), np.float32)}
+
+    def test_dataset_error_propagates_not_hangs(self):
+        loader = DataLoader(
+            self._BoomDataset(), batch_size=2, shuffle=False,
+            num_workers=2, drop_last=True,
+        )
+        with pytest.raises(ValueError, match="corrupt sample 5"):
+            for _ in loader:
+                pass
+
+    def test_abandoned_iterator_unblocks_producer(self):
+        import threading
+
+        class _Slow:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                return {"x": np.zeros((1,), np.float32)}
+
+        before = threading.active_count()
+        for _ in range(8):
+            it = iter(DataLoader(_Slow(), batch_size=2, num_workers=1,
+                                 prefetch=1))
+            next(it)
+            it.close()  # abandon mid-epoch with a full prefetch queue
+        # producer threads must observe stop and exit (generous deadline)
+        import time
+
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            if threading.active_count() <= before + 1:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before + 1, (
+            threading.active_count(), before
+        )
