@@ -113,7 +113,7 @@ def bench_nerf(backward=True):
         print(json.dumps({"stage": "nerf_render_bwd", "ms": round(t * 1e3, 1)}))
 
 
-def _bench_train_step(cfg_path, name, num_rays=38400):
+def _bench_train_step(cfg_path, name, num_rays=38400, batch=1):
     from preworld_tpu.data import synthetic_batch
     from preworld_tpu.train import create_train_state, make_optimizer, make_train_step
     from preworld_tpu.train.builder import build_model
@@ -123,7 +123,9 @@ def _bench_train_step(cfg_path, name, num_rays=38400):
     model = build_model(cfg)
     batch = {
         k: jnp.asarray(v)
-        for k, v in synthetic_batch(model.cfg, 1, num_rays=num_rays).items()
+        for k, v in synthetic_batch(
+            model.cfg, batch, num_rays=num_rays
+        ).items()
     }
     tx = make_optimizer()
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
@@ -143,27 +145,32 @@ def _bench_train_step(cfg_path, name, num_rays=38400):
     print(json.dumps({"stage": name, "s": round(min(times), 2)}))
 
 
-def bench_finetune_step():
+def bench_finetune_step(batch=1):
     _bench_train_step(
-        "configs/preworld/preworld_7frame_finetune.py", "finetune_train_step"
+        "configs/preworld/preworld_7frame_finetune.py",
+        f"finetune_train_step_b{batch}", batch=batch,
     )
 
 
-def bench_pretrain_step():
+def bench_pretrain_step(batch=1):
     _bench_train_step(
-        "configs/preworld/preworld_7frame_pretrain.py", "pretrain_train_step"
+        "configs/preworld/preworld_7frame_pretrain.py",
+        f"pretrain_train_step_b{batch}", batch=batch,
     )
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("which", nargs="?", default="all")
+    p.add_argument("--batch", type=int, default=1,
+                   help="per-chip train-step batch (B=2 probes whether the "
+                        "r2 OOM is gone after the VJP/compaction memory work)")
     a = p.parse_args()
     if a.which in ("cost_volume", "all"):
         bench_cost_volume()
     if a.which in ("nerf", "all"):
         bench_nerf()
     if a.which in ("pretrain_step", "all"):
-        bench_pretrain_step()
+        bench_pretrain_step(a.batch)
     if a.which in ("finetune_step", "all"):
-        bench_finetune_step()
+        bench_finetune_step(a.batch)
