@@ -979,3 +979,34 @@ class TestPlaneSweepSupportedGate:
         # existing gates still active
         assert not plane_sweep_supported((6, 126, 352, 128))  # H % 8
         assert not plane_sweep_supported((6, 128, 352, 96))   # C % 128
+
+    def test_wide_feature_x_subwindow_packing(self):
+        """W=352 (flagship cv width): Wp=384 exercises n_tw=3 tiles and
+        xs16 4-bit packing values up to 10 — no other test leaves Wp=256."""
+        from preworld_tpu.models.depthnet import stereo_cost_volume
+        from preworld_tpu.ops.cost_volume_pallas import plane_sweep_cost
+        import flax.linen as nn
+
+        rng = np.random.default_rng(5)
+        BN, H, W, C, D = 1, 16, 352, 32, 4
+        prev = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(BN, H, W, C)).astype(np.float32))
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        gx = np.zeros((BN, D, H, W), np.float32)
+        gy = np.zeros((BN, D, H, W), np.float32)
+        for d in range(D):
+            # large x drift pushes row sub-window starts across the full
+            # 16-aligned packing range [0, (Wp-SW)/16 = 10]
+            shift = 40.0 * (d + 1) / D
+            gx[:, d] = (xs + shift + rng.normal(0, 0.2, (H, W))) / (W - 1) * 2 - 1
+            gy[:, d] = (ys + 0.3 * shift) / (H - 1) * 2 - 1
+        grid = jnp.asarray(np.stack([gx, gy], -1).reshape(BN, D * H, W, 2))
+
+        ours = nn.softmax(
+            -plane_sweep_cost(prev, curr, grid, bias=5.0, interpret=True),
+            axis=1,
+        )
+        ref = stereo_cost_volume(prev, curr, grid, bias=5.0, depth_chunk=2)
+        ours, ref = np.asarray(ours), np.asarray(ref)
+        mism = np.abs(ours - ref) > 1e-4
+        assert mism.mean() < 2e-3, mism.mean()
