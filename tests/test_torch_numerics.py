@@ -474,3 +474,65 @@ class TestResNet3DParity:
                 np.asarray(ff).transpose(0, 4, 1, 2, 3), tf.numpy(),
                 rtol=RTOL, atol=ATOL,
             )
+
+
+class TestCostVolumeTorchOracle:
+    def test_cost_volume_matches_reference_loop(self):
+        """stereo_cost_volume vs a line-for-line torch transcription of the
+        reference `calculate_cost_volumn` group loop
+        (`necks/view_transformer.py:576-604`), including the quirk that the
+        invalid-warp bias keys on channel 0 of the LAST 4-channel group
+        (global channel C-4) — pinned by planting an exact zero in the
+        warped field at channel 0 but not at C-4."""
+        import torch.nn.functional as F
+
+        from preworld_tpu.models.depthnet import stereo_cost_volume
+
+        rng = np.random.default_rng(11)
+        BN, H, W, C, D = 2, 8, 12, 8, 5
+        prev = rng.normal(size=(BN, H, W, C)).astype(np.float32)
+        curr = rng.normal(size=(BN, H, W, C)).astype(np.float32)
+        # exact zeros in channel 0 at some in-image texels: with integer
+        # warps below these produce warped[...,0]==0 while channel C-4
+        # stays nonzero -> the bias must NOT trigger there
+        prev[:, 2:4, 3:6, 0] = 0.0
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        gx = np.zeros((BN, D, H, W), np.float32)
+        gy = np.zeros((BN, D, H, W), np.float32)
+        for d in range(D):
+            # integer shifts keep warps exact-texel (hits the planted zeros)
+            gx[:, d] = (xs + d - 1) / (W - 1) * 2 - 1
+            gy[:, d] = (ys + (d % 2)) / (H - 1) * 2 - 1
+        grid = np.stack([gx, gy], -1).reshape(BN, D * H, W, 2)
+
+        # ---- reference transcription (torch, channel-first) ----
+        tprev = torch.from_numpy(prev).permute(0, 3, 1, 2)
+        tcurr = torch.from_numpy(curr).permute(0, 3, 1, 2)
+        tgrid = torch.from_numpy(grid)
+        bias = 5.0
+        group = 4
+        cost = 0
+        for fid in range(C // group):
+            pc = tprev[:, fid * group:(fid + 1) * group]
+            wrap_prev = F.grid_sample(pc, tgrid, align_corners=True,
+                                      padding_mode="zeros")
+            cc = tcurr[:, fid * group:(fid + 1) * group]
+            tmp = cc.unsqueeze(2) - wrap_prev.view(BN, group, D, H, W)
+            cost = cost + tmp.abs().sum(dim=1)
+        invalid = wrap_prev[:, 0].view(BN, D, H, W) == 0
+        cost[invalid] = cost[invalid] + bias
+        ref = torch.softmax(-cost, dim=1).numpy()
+
+        ours = np.asarray(
+            stereo_cost_volume(
+                jnp.asarray(prev), jnp.asarray(curr), jnp.asarray(grid),
+                bias=bias, depth_chunk=1,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+        # the quirk actually fired: some texels are zero in channel 0 but
+        # valid per the reference's C-4 probe
+        wp_full = F.grid_sample(tprev, tgrid, align_corners=True,
+                                padding_mode="zeros").view(BN, C, D, H, W)
+        ch0_zero = wp_full[:, 0] == 0
+        assert bool((ch0_zero & ~invalid).any()), "degenerate fixture"
