@@ -129,3 +129,35 @@ class TestConfig:
         assert model.cfg.if_pretrain is True
         assert model.cfg.grid.num_depth_bins == 88
         assert model.cfg.nerf.spec.num_inner == 391
+
+
+class TestAllConfigsBuild:
+    def test_every_shipped_config_builds(self):
+        """Every config under configs/preworld builds a model; the builder
+        must consume (not silently drop) the keys each config sets."""
+        import glob
+        import os
+
+        from preworld_tpu.train.builder import build_model
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(glob.glob(os.path.join(repo, "configs/preworld/*.py")))
+        assert len(paths) >= 6, paths
+        for p in paths:
+            cfg = Config.fromfile(p)
+            model = build_model(cfg)
+            c = model.cfg
+            m = cfg["model"]
+            assert c.num_classes == int(m.get("num_classes", 18)), p
+            # spot-check plumbing for keys configs actually set
+            for key, attr in [
+                ("depth_loss_weight", "depth_loss_weight"),
+                ("balance_cls_weight", "balance_cls_weight"),
+            ]:
+                if key in m:
+                    assert getattr(c, attr) == m[key], (p, key)
+            nerf = m.get("nerf_head", {})
+            for key in ("fast_color_thres", "max_depth", "variance_focus",
+                        "ray_chunk", "bwd_live_cap"):
+                if key in nerf:
+                    assert getattr(c.nerf, key) == nerf[key], (p, key)
