@@ -6,15 +6,22 @@ Replaces the XLA scatter-add in `bev_pool` with an MXU-friendly segment sum:
      as sort PAYLOADS (no post-sort permutation gathers), gather context
      rows from the small per-pixel table and multiply by depth -> vals
      (P, C) rows; searchsorted gives each output TILE's first point offset
-     (128-aligned for Mosaic DMA) and its block count.
-  2. Kernel: grid over output tiles of V_TILE voxels. Each tile walks its
+     and its block count.
+  2. Row packing: a (P, C) bf16 array has a lane-padded HBM layout
+     (minor dim 32 -> 128), and Mosaic rejects HBM DMA slices that are not
+     128-lane aligned — while the transposed (C, P) layout costs a ~1/3-of-
+     prep transpose. Instead we pack g = 128 // C_slot consecutive points
+     per row: vals (P/g, g*C_slot) and vox (g, P/g), so every DMA slice is
+     exactly lane-tile aligned and the buffers stay compact.
+  3. Kernel: grid over output tiles of V_TILE voxels. Each tile walks its
      OWN ceil(points/TB) chunks (double-buffered DMA pipeline — the voxel
      distribution is ~13x skewed, so a worst-case fixed window would waste
-     that factor on the average tile) and accumulates with the ONE-HOT
-     MATMUL trick: onehot(voxel==row) contracted against the chunk runs on
-     the MXU instead of a serialized per-point scatter. Points outside the
-     tile's voxel range one-hot to nothing, so chunk walks may overlap
-     neighbouring tiles' points safely.
+     that factor on the average tile). Per chunk, for each point parity
+     j in [0, g): one-hot(vox_j == row) contracted on the MXU against the
+     lane-group-masked value rows; a final constant fold matrix collapses
+     the g lane groups into the C output channels (also on the MXU). The
+     g masked matmuls cost the same MXU time as one C-wide matmul, because
+     a C<128-wide matmul pads its lanes anyway.
 
 The CUDA original (`bev_pool_cuda.cu:21-48`) walks rank-compressed intervals
 with one thread per (voxel, channel); the one-hot matmul is the TPU-native
@@ -32,36 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pool_kernel(
-    tile_starts_ref,  # scalar prefetch: (n_tiles,) int32, 128-aligned starts
-    tile_nblk_ref,  # scalar prefetch: (n_tiles,) int32, TB-blocks per tile
-    vox_hbm,  # (1, P_pad) int32 sorted voxel ids
-    vals_hbm,  # (P_pad, C) sorted depth*feat rows
+    tile_row_starts_ref,  # scalar prefetch: (n_tiles,) int32, 128-row aligned
+    tile_nblk_ref,  # scalar prefetch: (n_tiles,) int32, TB-point blocks
+    vox_hbm,  # (g, P/g) int32 sorted voxel ids, row j = points == j (mod g)
+    vals_hbm,  # (P/g, g*C_slot) sorted depth*feat, g points packed per row
     out_ref,  # (V_TILE, C) VMEM output tile
-    vox_vmem,  # scratch (2, 1, TB) int32 double-buffered chunk
-    vals_vmem,  # scratch (2, TB, C)
+    vox_vmem,  # scratch (2, g, 128) int32 double-buffered chunk
+    vals_vmem,  # scratch (2, 128, g*C_slot)
     sem,  # DMA semaphores (2, 2)
     *,
     V_TILE: int,
-    TB: int,
+    C_SLOT: int,
 ):
     # The frustum's voxel-id distribution is heavily skewed (near tiles
     # hold ~10x the average), so a fixed per-tile window sized for the
     # worst tile wastes ~13x DMA + MXU on the average one. Instead each
     # tile walks only its OWN ceil(points/TB) blocks (dynamic fori_loop),
-    # fetching (C, TB) chunks with a two-deep DMA pipeline.
+    # fetching 128-row chunks with a two-deep DMA pipeline.
     k = pl.program_id(0)
-    start = pl.multiple_of(tile_starts_ref[k], 128)
+    row_start = pl.multiple_of(tile_row_starts_ref[k], 128)
     nblk = tile_nblk_ref[k]
+    g = vox_vmem.shape[1]
 
     def chunk_dma(i, slot):
-        off = pl.multiple_of(start + i * TB, 128)
+        off = pl.multiple_of(row_start + i * 128, 128)
         return (
             pltpu.make_async_copy(
-                vox_hbm.at[:, pl.ds(off, TB)], vox_vmem.at[slot],
+                vox_hbm.at[:, pl.ds(off, 128)], vox_vmem.at[slot],
                 sem.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(off, TB), :], vals_vmem.at[slot],
+                vals_hbm.at[pl.ds(off, 128), :], vals_vmem.at[slot],
                 sem.at[slot, 1],
             ),
         )
@@ -73,8 +81,9 @@ def _pool_kernel(
         b.start()
 
     tile_base = k * V_TILE
-    C = vals_vmem.shape[2]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (V_TILE, TB), 0)
+    CL = vals_vmem.shape[2]  # g * C_SLOT
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (V_TILE, 128), 0)
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (128, CL), 1) // C_SLOT
 
     def block(i, acc):
         slot = jax.lax.rem(i, 2)
@@ -88,23 +97,50 @@ def _pool_kernel(
         a, b = chunk_dma(i, slot)
         a.wait()
         b.wait()
-        local = vox_vmem[slot] - tile_base  # (1, TB)
-        # exact in bf16: one-hot entries are 0/1 and vals are already bf16;
-        # accumulation stays f32 via preferred_element_type
-        onehot = (local == row_ids).astype(vals_vmem.dtype)  # (V_TILE, TB)
-        vals = vals_vmem[slot]  # (TB, C)
-        # acc[v, c] += sum_p onehot[v, p] * vals[p, c]
-        return acc + jax.lax.dot_general(
-            onehot,
-            vals,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        vox = vox_vmem[slot]  # (g, 128)
+        vals = vals_vmem[slot]  # (128, CL)
+        for j in range(g):
+            # exact in bf16: one-hot entries are 0/1 and vals are already
+            # bf16; accumulation stays f32 via preferred_element_type
+            onehot = (vox[j : j + 1, :] - tile_base == row_ids).astype(
+                vals.dtype
+            )  # (V_TILE, 128)
+            vj = jnp.where(lane_group == j, vals, 0)
+            # acc[v, j*C_slot + c] += sum_q onehot[v, q] * val(gq+j)[c]
+            acc = acc + jax.lax.dot_general(
+                onehot,
+                vj,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, nblk, block, jnp.zeros((V_TILE, C), jnp.float32)
+        0, nblk, block, jnp.zeros((V_TILE, CL), jnp.float32)
     )
-    out_ref[:, :] = acc.astype(out_ref.dtype)
+    # fold the g point-parity lane groups: out[v, c] = sum_j acc[v, j*C_slot+c]
+    C = out_ref.shape[1]
+    fold = (
+        jax.lax.broadcasted_iota(jnp.int32, (CL, C), 0) % C_SLOT
+        == jax.lax.broadcasted_iota(jnp.int32, (CL, C), 1)
+    ).astype(jnp.float32)
+    out_ref[:, :] = jax.lax.dot_general(
+        acc,
+        fold,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _pack_geometry(C: int):
+    """(C_slot, g): channel slot width (pow2 >= C) and points per 128 lanes."""
+    c_slot = 1
+    while c_slot < C:
+        c_slot *= 2
+    if c_slot > 128:
+        # wide channels: no packing; pad lanes to a 128 multiple
+        return ((C + 127) // 128) * 128, 1
+    return c_slot, 128 // c_slot
 
 
 @functools.partial(
@@ -126,34 +162,45 @@ def bev_pool_pallas_sorted(
       vals_sorted: (P, C) rows (depth*feat), sorted by voxel id.
       vox_sorted:  (P,) int32 ascending; out-of-range (dropped) points carry
                    id >= num_voxels and MUST sort to the tail.
-      pts_cap: retained for API compatibility (the former fixed per-tile
-               window). The kernel now walks each tile's own blocks, so
-               skewed tiles (flagship peaks at ~13.4k points per 512-voxel
-               tile vs ~1.2k average) no longer set every tile's cost.
+      pts_cap/tb: retained for API compatibility (the former fixed per-tile
+               window / chunk size). The kernel walks each tile's own
+               TB = g*128-point blocks, so skewed tiles (flagship peaks at
+               ~13.4k points per 512-voxel tile vs ~1.2k average) no longer
+               set every tile's cost.
     Returns: (num_voxels_padded, C); caller slices [:num_voxels].
     """
-    del pts_cap
+    del pts_cap, tb
     P, C = vals_sorted.shape
+    c_slot, g = _pack_geometry(C)
+    TB = 128 * g  # points per chunk
     nvox_pad = ((num_voxels + v_tile - 1) // v_tile) * v_tile
     n_tiles = nvox_pad // v_tile
 
-    # pad points so any 128-aligned chunk walk fits; pad ids park in no tile
-    pad = 2 * tb + 128
+    # pad points so any TB-aligned chunk walk fits; pad ids park in no tile
+    P_pad = ((P + 3 * TB) // TB) * TB
     vox_p = jnp.concatenate(
-        [vox_sorted, jnp.full((pad,), nvox_pad + 1, jnp.int32)]
-    )[None, :]
-    vals_p = jnp.concatenate(
-        [vals_sorted, jnp.zeros((pad, C), vals_sorted.dtype)], axis=0
+        [vox_sorted, jnp.full((P_pad - P,), nvox_pad + 1, jnp.int32)]
     )
+    vals_p = vals_sorted
+    if c_slot != C:
+        vals_p = jnp.pad(vals_p, ((0, 0), (0, c_slot - C)))
+    vals_p = jnp.concatenate(
+        [vals_p, jnp.zeros((P_pad - P, c_slot), vals_p.dtype)], axis=0
+    )
+    # pack: row q holds points g*q .. g*q+g-1, each in a c_slot lane group;
+    # vox row j holds the ids of points == j (mod g)
+    vals_packed = vals_p.reshape(P_pad // g, g * c_slot)
+    vox_packed = vox_p.reshape(P_pad // g, g).T
 
     bounds = jnp.searchsorted(
         vox_sorted,
         jnp.arange(n_tiles + 1, dtype=jnp.int32) * v_tile,
     ).astype(jnp.int32)
-    tile_starts = (bounds[:-1] // 128) * 128  # Mosaic DMA lane alignment
-    tile_nblk = (bounds[1:] - tile_starts + tb - 1) // tb
+    start_pts = (bounds[:-1] // TB) * TB  # chunk-aligned round-down
+    tile_row_starts = start_pts // g  # 128-row aligned by construction
+    tile_nblk = (bounds[1:] - start_pts + TB - 1) // TB
 
-    kernel = functools.partial(_pool_kernel, V_TILE=v_tile, TB=tb)
+    kernel = functools.partial(_pool_kernel, V_TILE=v_tile, C_SLOT=c_slot)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -168,14 +215,14 @@ def bev_pool_pallas_sorted(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 1, tb), jnp.int32),
-                pltpu.VMEM((2, tb, C), vals_sorted.dtype),
+                pltpu.VMEM((2, g, 128), jnp.int32),
+                pltpu.VMEM((2, 128, g * c_slot), vals_sorted.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nvox_pad, C), vals_sorted.dtype),
         interpret=interpret,
-    )(tile_starts, tile_nblk, vox_p, vals_p)
+    )(tile_row_starts, tile_nblk, vox_packed, vals_packed)
     return out
 
 
@@ -215,7 +262,7 @@ def _bev_pool_fused_fwd(depth, feat, vox_idx, pix_idx, num_voxels, pts_cap,
     # gathers are needed; feat rows then gather from the SMALL per-pixel
     # table (VMEM-stageable -> fast descriptor path) in row layout — the
     # (C, P) transpose the previous pipeline paid ~1/3 of its time for is
-    # gone (the kernel consumes (TB, C) row chunks directly).
+    # gone (the kernel consumes packed row chunks directly).
     v_s, d_s, p_s = jax.lax.sort((v, d, p), num_keys=1)
     vals = feat_flat[p_s] * d_s[:, None]
     out = bev_pool_pallas_sorted(
