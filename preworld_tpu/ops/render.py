@@ -182,12 +182,25 @@ def alpha2weight(
     a = jnp.where(mask, alpha, 0.0)
     # exclusive cumprod of (1 - alpha): T[i] = prod_{j<i} (1 - a[j])
     t_excl = _exclusive_cumprod(1.0 - a)
-    # early exit: a sample is processed iff its exclusive T >= thres
+    # early exit: a sample is processed iff its exclusive T >= thres.
+    # t_excl is non-increasing (every factor <= 1), so `live` is a PREFIX
+    # mask — which makes the zeroed-alpha recomposite recoverable from the
+    # single cumprod (bitwise: same multiply sequence):
+    #   * within the live prefix, the second exclusive cumprod equals the
+    #     first (all earlier factors are unchanged), so
+    #     weights = where(live, a * t_excl, 0);
+    #   * alphainv_last = prod(1 - a_live) = the first INCLUSIVE T that
+    #     drops below the threshold (the partial product at the exit
+    #     point), or the full product if no sample exits.
+    # One cumprod instead of two + a prod — cumprod (and its VJP) is the
+    # compositing's serial-scan cost, and this runs in the render backward's
+    # remat recompute as well.
     live = t_excl >= early_exit_thres
-    a = jnp.where(live, a, 0.0)
-    t_excl_live = _exclusive_cumprod(1.0 - a)
-    weights = a * t_excl_live
-    alphainv_last = jnp.prod(1.0 - a, axis=1)
+    weights = jnp.where(live, a * t_excl, 0.0)
+    t_incl = t_excl * (1.0 - a)  # t_incl[i] = prod_{j<=i} (1 - a[j])
+    below = t_incl < early_exit_thres
+    first_below = jnp.max(jnp.where(below, t_incl, -jnp.inf), axis=1)
+    alphainv_last = jnp.where(below.any(axis=1), first_below, t_incl[:, -1])
     return weights, alphainv_last
 
 

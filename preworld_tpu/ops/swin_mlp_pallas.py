@@ -240,6 +240,13 @@ def _fused_swin_mlp_bwd_call(
 ):
     C = x.shape[-1]
     Hd = w1.shape[1]
+    # the backward's kernel stack scales ~ block_rows * Hd * 16 B (the
+    # unrolled hidden-chunk loop's f32 temporaries are not fully reused by
+    # Mosaic), so clamp rows by the hidden width to keep the stack ~16 MB:
+    # stage 3 (Hd=4096) at the caller's 2048 rows needs >100 MB and fails
+    # scoped-vmem allocation. 2^20 elements -> 2048/1024/512/256 rows for
+    # the four Swin stages.
+    block_rows = min(block_rows, max(256, (1 << 20) // Hd))
     xr = x.reshape(-1, C)
     dor = do.reshape(-1, C)
     M = xr.shape[0]

@@ -137,6 +137,12 @@ def fused_window_attention(
         out_specs=pl.BlockSpec((G * N, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bn * N, C), qkv.dtype),
+        # the unrolled python head loop allocates per-head (N, N) f32
+        # temporaries on the kernel stack; at stage 3 (heads=32) that
+        # exceeds the default 16 MB scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         qkv.reshape(Bn * N, C3),
@@ -273,6 +279,11 @@ def _fused_window_attention_bwd(
             jax.ShapeDtypeStruct((Bn * N, C3), qkv.dtype),
             jax.ShapeDtypeStruct((heads * N, N), jnp.float32),
         ],
+        # see the forward: the backward's stack is larger still (s, p, dp,
+        # ds per unrolled head) — 19.1 MB at stage 3 vs the 16 MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         qkv.reshape(Bn * N, C3),
