@@ -356,7 +356,24 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
         S = pts_norm.shape[-2]
         g2 = g.reshape(R, S, C)
         pts2 = pts_norm.reshape(R, S, 3)
-        live = jnp.any(g2 != 0, axis=-1)  # (R, S)
+        # a sample is live only if it has a nonzero cotangent AND lands in
+        # range: out-of-bounds points are zeroed by `valid` inside
+        # seg_scatter, so dropping them here is exact. This matters because
+        # OOB samples read the zero sentinel -> alpha == alpha_init (1e-6)
+        # > fast_color_thres (1e-7) -> they stay "live" by cotangent for
+        # the whole march; a single ray exiting the voxel slab would
+        # otherwise blow the cap and force the full-scatter fallback
+        # (measured: trained-regime cotangents are 24% dense by g != 0
+        # alone, but only ~4% dense once OOB rows are masked).
+        def _in_range(p, n):
+            f = jnp.floor((p + 1.0) * 0.5 * (n - 1))
+            return (f + 1 >= 0) & (f <= n - 1)
+        inb = (
+            _in_range(pts2[..., 0], X)
+            & _in_range(pts2[..., 1], Y)
+            & _in_range(pts2[..., 2], Z)
+        )
+        live = jnp.any(g2 != 0, axis=-1) & inb  # (R, S)
         fits = jnp.max(live.sum(axis=1)) <= live_cap
         def compact_branch():
             # stable sort moves live samples to the front, preserving order

@@ -317,6 +317,49 @@ class TestFieldSample:
             np.asarray(capped), np.asarray(full), rtol=1e-5, atol=1e-6
         )
 
+    def test_live_cap_ignores_oob_cotangents(self):
+        """Rays whose nonzero cotangents sit mostly on OUT-OF-BOUNDS samples
+        must still take the compact path: OOB updates are zeroed by `valid`
+        inside the scatter, so the cap counts only in-bounds live samples.
+        (Render rays that exit the voxel slab read the zero sentinel ->
+        alpha ~= alpha_init > fast_color_thres -> their whole OOB tail
+        carries nonzero cotangent; without the in-range mask one such ray
+        forces the full-scatter fallback for the entire batch.)"""
+        from preworld_tpu.ops.field_sample import (
+            build_parity_tables,
+            sample_tables_fused,
+        )
+
+        rng = np.random.default_rng(13)
+        field = jnp.asarray(rng.normal(size=(9, 7, 5, 21)).astype(np.float32))
+        R, S, cap = 8, 40, 6
+        # first 4 samples in-bounds, the rest far out of range (an exiting
+        # ray), ALL with nonzero cotangent: in-bounds live = 4 <= cap while
+        # g!=0 live = 40 >> cap
+        pts = np.empty((R, S, 3), np.float32)
+        pts[:, :4] = rng.uniform(-0.8, 0.8, size=(R, 4, 3))
+        pts[:, 4:] = rng.uniform(2.5, 3.0, size=(R, S - 4, 3))
+        cot = jnp.asarray(rng.normal(size=(R, S, 21)).astype(np.float32))
+        t_e, t_o = build_parity_tables(field)
+        te = jax.lax.stop_gradient(t_e)
+        to = jax.lax.stop_gradient(t_o)
+
+        def grad_at(cap_):
+            return jax.grad(
+                lambda f: (
+                    cot * sample_tables_fused(f, te, to, jnp.asarray(pts), cap_)
+                ).sum()
+            )(field)
+
+        full = grad_at(0)
+        compact = grad_at(cap)
+        np.testing.assert_allclose(
+            np.asarray(compact), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+        # the in-bounds prefix must actually contribute (guards against a
+        # vacuous pass where everything OOB zeroes the whole gradient)
+        assert np.abs(np.asarray(full)).max() > 0
+
 
 class TestRender:
     def test_chunked_render_matches_dense(self):

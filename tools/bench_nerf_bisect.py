@@ -112,9 +112,12 @@ def main():
         (rng.uniform(size=(R, S, 1)) < 0.05).astype(np.float32)
     )
     g_sparse = g * live
+    # the vary-inputs perturbation must NOT resurrect dead cotangents
+    # (g + 1e-6 would make every sample live and silently time the full-
+    # scatter branch) — re-mask inside the jitted fn so sparsity survives
     scat_cap = jax.jit(
         lambda p, gg: _corner8_scatter_grad(
-            (200, 200, 16, C), (200, 200, 16), p, gg, live_cap=64
+            (200, 200, 16, C), (200, 200, 16), p, gg * live, live_cap=64
         )
     )
     t = timeit(scat_cap, pts, g_sparse, n=n, readback=lambda o: o[0, 0, 0, 0])
