@@ -6,9 +6,16 @@ steady-state throughput.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 BASELINE.json's north star is ">=2x A100 6-cam occ inference per chip".
-We peg the A100 reference at 4.0 frames/s for this model class (BEVStereo-
-style occ nets at 512x1408 run ~3-5 fps on A100), so vs_baseline is
-fps / 8.0 (the 2x-A100 target == 1.0).
+Peg provenance: the closest published figure for this exact model class is
+the BEVDet paper (Huang et al., arXiv:2112.11790, inference-speed table):
+BEVDet-Base — the same Swin-Base backbone at the same 6-cam 512x1408
+resolution — runs ~1.9 FPS on an RTX 3090. PreWorld's tower (BEVStereo4D)
+adds stereo cost volumes + two temporal frames on top of that, and an A100
+is ~1.3-1.5x a 3090 on this workload, so a faithful A100 estimate for the
+reference is <=2.5 FPS. We keep the DELIBERATELY GENEROUS peg of 4.0
+frames/s (vs_baseline = fps / 8.0; the 2x-A100 target == 1.0) so
+vs_baseline can only understate progress; mfu / hbm_util are measured and
+peg-independent.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -215,12 +222,14 @@ def main():
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 8.0, 3),
                 "streaming_fps": streaming_fps,
-                # vs_baseline divides by 2 x this SELF-ESTIMATED A100 peg
-                # (no published reference throughput exists; see module
-                # docstring) — reported explicitly so readers see the
-                # epistemic status. The measured mfu / hbm_util fields are
-                # peg-independent.
+                # vs_baseline divides by 2 x this A100 peg. The reference
+                # publishes no throughput; the peg is anchored to the
+                # closest published number (see module docstring) and held
+                # deliberately generous. mfu / hbm_util are peg-independent.
                 "baseline_assumed_fps": 4.0,
+                "baseline_peg_source":
+                    "arXiv:2112.11790 BEVDet-Base (Swin-B 512x1408) "
+                    "~1.9fps@3090; 4.0 is a generous A100 upper bound",
                 "mfu": round(flops / dt / peak_flops, 4),
                 "hbm_util": round(bytes_acc / dt / peak_bw, 4),
                 "tflops_fwd": round(flops / 1e12, 2),

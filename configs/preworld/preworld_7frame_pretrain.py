@@ -22,12 +22,14 @@ model = dict(
         weight_color=1.0,
         weight_entropy_last=0.01,
         weight_distortion=0.01,
-        # exact per-ray live-sample compaction of the render backward
-        # scatter (ops/field_sample.py::_corner8_scatter_grad): early-exit +
-        # fast_color_thres zero >70% of cotangents on trained fields, and a
-        # lax.cond falls back to the full scatter if any ray exceeds the cap
-        # (e.g. at random init), so results are exact either way. Measured
-        # overhead when the fallback fires: ~5 ms/step (docs/ROUND3_STATUS).
+        # exact TWO-TIER live-sample compaction of the render backward
+        # scatter (ops/field_sample.py::_corner8_scatter_grad): tier 1
+        # scatters <=cap live samples per ray; grazing rays that exceed the
+        # cap are scattered whole in a ~R/64-ray tier 2 pass; only >R/64
+        # overflowing rays (e.g. a fully transparent random-init field)
+        # trips the full-scatter fallback. Exact on every branch. The r3
+        # single-tier cap never engaged at flagship scale (grazing rays
+        # blew the all-or-nothing check — docs/ROUND3_STATUS.md).
         bwd_live_cap=128,
     ),
 )

@@ -85,6 +85,30 @@ class NuScenesOccTrajDataset(NuScenesOccDataset):
     def __len__(self):
         return len(self.temp2nusc_map)
 
+    def _future_info(self, index: int, t: int) -> Dict:
+        """Info record t frames ahead, guaranteed same-scene.
+
+        The remap in __init__ admits only keyframes with >= min_future_frames
+        (12) same-scene successors, and occworld_offset (5) + max horizon (6)
+        stays within that window — so index+t can never cross a scene
+        boundary today. The assert makes GT-from-the-wrong-scene impossible
+        if those constants ever drift (the reference guards this structurally,
+        `nuscenes_dataset_occ_trajectory.py:212-238`).
+        """
+        return self.infos[self._future_index(index, t)]
+
+    def _future_index(self, index: int, t: int) -> int:
+        fidx = min(index + t, len(self.infos) - 1)
+        assert (
+            self.infos[fidx]["scene_token"]
+            == self.infos[index]["scene_token"]
+        ), (
+            f"future frame +{t} of sample {index} crosses a scene boundary "
+            "(remap invariant violated — check min_future_frames vs "
+            "occworld_offset + horizon)"
+        )
+        return fidx
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         index = self.temp2nusc_map[idx]
         sample = super().__getitem__(index)
@@ -93,7 +117,7 @@ class NuScenesOccTrajDataset(NuScenesOccDataset):
         # future occupancy GT (+ the same bda flips as the key frame)
         sx_sem = []
         for t in FUTURE_INTERVALS[: self.num_future]:
-            finfo = self.infos[min(index + t, len(self.infos) - 1)]
+            finfo = self._future_info(index, t)
             occ = load_occ_gt(self._data_path(finfo["occ_path"]))
             sx_sem.append(occ["voxel_semantics"])
         temporal_sem = np.stack(sx_sem)
@@ -129,7 +153,7 @@ class NuScenesOccTrajDataset(NuScenesOccDataset):
         if self.use_rays:
             rng = np.random.default_rng(self._seed + idx)
             temporal_rays = [
-                self._rays(min(index + t, len(self.infos) - 1), rng)
+                self._rays(self._future_index(index, t), rng)
                 for t in FUTURE_INTERVALS[: self.num_future]
             ]
             sample["temporal_rays"] = np.stack(temporal_rays)
@@ -147,7 +171,7 @@ class NuScenesOccTrajDataset(NuScenesOccDataset):
             index = self.temp2nusc_map[i]
             gts = {}
             for h, frames in zip((0, 1, 2, 3), (0, 2, 4, 6)):
-                finfo = self.infos[min(index + frames, len(self.infos) - 1)]
+                finfo = self._future_info(index, frames)
                 gts[h] = load_occ_gt(self._data_path(finfo["occ_path"]))[
                     "voxel_semantics"
                 ]

@@ -98,8 +98,10 @@ class NerfHeadConfig:
     # per-ray live-sample cap for the backward scatter (0 = off). Early
     # exit + fast_color_thres give dead samples exactly-zero cotangents
     # (typically >90% of samples), so the descriptor-bound scatter shrinks
-    # ~S/cap-fold; a lax.cond falls back to the full scatter if any ray
-    # overflows, so results are exact either way. See
+    # ~S/cap-fold. Two-tier exact scheme: rays whose live count exceeds
+    # the cap (grazing rays) are scattered whole in a second pass, and a
+    # lax.cond falls back to the full scatter only if more than ~R/64 rays
+    # overflow — results are exact on every branch. See
     # ops/field_sample.py::_corner8_scatter_grad.
     bwd_live_cap: int = 0
 
@@ -128,6 +130,7 @@ def render_scene(
     bda: jnp.ndarray,
     cfg: NerfHeadConfig,
     ray_mask: jnp.ndarray = None,
+    axis_name: str = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render depth/semantic/color for R rays against one voxel scene.
 
@@ -139,6 +142,11 @@ def render_scene(
     and returned as the scalar "loss_distortion" instead of shipping the
     (R, S) weights/s/live arrays to the caller — those three arrays are
     ~200 MB each at flagship scale and only feed the distortion reduction.
+
+    `axis_name`: set when running inside shard_map with the ray dim split
+    over that mesh axis (sequence parallelism) — the scene-wide distortion
+    sums then psum across it, so per-shard results match the dense render
+    exactly.
     """
     R = rays_o.shape[0]
     chunk = min(cfg.ray_chunk, R) if cfg.ray_chunk > 0 else R
@@ -201,10 +209,16 @@ def render_scene(
     # distortion (flatten_eff_distloss parity, `nerf_head.py:295-298`):
     # interval = 1/n_max with n_max = surviving supervised samples scene-
     # wide; normalized by the number of supervised rays
-    n_max = jnp.maximum(out.pop("dist_live"), 1.0)
-    n_rays = jnp.maximum(ray_mask.sum(), 1.0)
+    sums = jnp.stack([
+        out.pop("dist_live"), out.pop("dist_bi"), out.pop("dist_w2"),
+        ray_mask.sum(),
+    ])
+    if axis_name is not None:  # ray dim is sharded: sums must be scene-wide
+        sums = jax.lax.psum(sums, axis_name)
+    n_max = jnp.maximum(sums[0], 1.0)
+    n_rays = jnp.maximum(sums[3], 1.0)
     out["loss_distortion"] = (
-        2.0 * out.pop("dist_bi") + (1.0 / 3.0) / n_max * out.pop("dist_w2")
+        2.0 * sums[1] + (1.0 / 3.0) / n_max * sums[2]
     ) / n_rays
     return out
 
@@ -264,6 +278,60 @@ def _render_rays(fused, t_e, t_o, rays_o, rays_d, bda, cfg, ray_mask):
     }
 
 
+def _render_batch(
+    density, semantic, color, rays_o, rays_d, bda, cfg, ray_mask, mesh=None
+):
+    """Stacked per-scene renders; shard_mapped over ('data', 'seq') when a
+    mesh is given.
+
+    The render is a python loop over scenes (a vmapped gather would lower to
+    batched-gather dimension numbers that miss the fast TPU descriptor path
+    — CLAUDE.md gather rules), so under plain GSPMD-jit the graph unrolls
+    once per GLOBAL batch row: compile time scales with the device count,
+    and each per-scene subgraph slices a data-sharded dim (replication
+    hazard). shard_map makes the loop run over the LOCAL batch (typically 1
+    scene/device) with the ray dim split over 'seq' — the render compiles
+    once, executes purely device-locally, and only the scene-wide distortion
+    sums cross shards (one 4-scalar psum inside render_scene). Falls back to
+    the dense path when shapes don't divide the mesh.
+    """
+
+    def body(de, se, co, ro, rd, bd, m, axis_name=None):
+        per_scene = [
+            render_scene(
+                de[i], se[i], co[i], ro[i], rd[i], bd[i], cfg, m[i],
+                axis_name=axis_name,
+            )
+            for i in range(de.shape[0])
+        ]
+        return {
+            k: jnp.stack([p[k] for p in per_scene]) for k in per_scene[0]
+        }
+
+    B, R = ray_mask.shape
+    if mesh is not None:
+        nd = mesh.shape.get("data", 1)
+        ns = mesh.shape.get("seq", 1)
+        if nd * ns > 1 and B % nd == 0 and R % ns == 0:
+            from jax.sharding import PartitionSpec as P
+
+            pb, pbr = P("data"), P("data", "seq")
+            return jax.shard_map(
+                partial(body, axis_name="seq"),
+                mesh=mesh,
+                in_specs=(pb, pb, pb, pbr, pbr, pb, pbr),
+                out_specs={
+                    "render_depth": pbr,
+                    "render_semantic": pbr,
+                    "render_color": pbr,
+                    "alphainv_last": pbr,
+                    "loss_distortion": pb,
+                },
+                check_vma=False,
+            )(density, semantic, color, rays_o, rays_d, bda, ray_mask)
+    return body(density, semantic, color, rays_o, rays_d, bda, ray_mask)
+
+
 def _weighted_ce(logits, targets, class_w, mask):
     """torch CrossEntropyLoss(weight=w, reduction='mean') with a ray mask:
     sum(w[t] * ce) / sum(w[t]) over masked rays.
@@ -295,6 +363,7 @@ def nerf_head_losses(
     bda: jnp.ndarray,
     cfg: NerfHeadConfig,
     suffix: str = "",
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched rendering losses (parity: `NerfHead.forward` + `compute_loss`,
     `nerf_head.py:271-299,361-420`; temporal suffixing `:301-329`).
@@ -302,6 +371,9 @@ def nerf_head_losses(
     Args:
       density: (B, X, Y, Z); semantic: (B, X, Y, Z, 17); color: (B, X, Y, Z, 3)
       rays: (B, R, 16) fixed-size ray records; bda: (B, 3, 3).
+      mesh: optional jax Mesh — the render then runs under shard_map with
+        scenes over 'data' and rays over 'seq' (see _render_batch). Loss
+        reductions below stay on the (small) global per-ray arrays.
     Returns: dict of scalar losses averaged over the batch.
     """
     gt_depth = rays[..., 2]
@@ -313,20 +385,9 @@ def nerf_head_losses(
     gt_depth = jnp.where(gt_depth > cfg.max_depth, 0.0, gt_depth)
     ray_mask = (gt_depth > 0).astype(jnp.float32)
 
-    # static python loop over the (small) batch instead of vmap: a vmapped
-    # gather lowers to a batched-gather dimension-numbers form that misses
-    # the fast TPU descriptor path the renderer's tables are laid out for
-    B_ = density.shape[0]
-    per_scene = [
-        render_scene(
-            density[i], semantic[i], color[i], rays_o[i], rays_d[i], bda[i],
-            cfg, ray_mask[i],
-        )
-        for i in range(B_)
-    ]
-    out = {
-        k: jnp.stack([p[k] for p in per_scene]) for k in per_scene[0]
-    }
+    out = _render_batch(
+        density, semantic, color, rays_o, rays_d, bda, cfg, ray_mask, mesh
+    )
 
     n_sem = semantic.shape[-1]
     class_w = jnp.asarray(

@@ -516,8 +516,15 @@ class PreWorld(nn.Module):
 
     # ---------------- training ----------------
 
-    def loss(self, batch, train: bool = True) -> Dict[str, jnp.ndarray]:
-        """Stage-dependent loss dict (`preworld.py:229-308`)."""
+    def loss(self, batch, train: bool = True, mesh=None
+             ) -> Dict[str, jnp.ndarray]:
+        """Stage-dependent loss dict (`preworld.py:229-308`).
+
+        `mesh`: optional jax Mesh — the render supervision then runs under
+        shard_map (scenes over 'data', rays over 'seq'; see
+        nerf_head._render_batch). Pass it whenever training on a multi-device
+        mesh: the unsharded fallback unrolls the render per GLOBAL batch row.
+        """
         c = self.cfg
         voxel_feats, depth = self.extract_voxel_feat(batch, train=train)
         losses: Dict[str, jnp.ndarray] = {}
@@ -552,7 +559,8 @@ class PreWorld(nn.Module):
             density, semantic, color = self.predict_attributes(voxel_feats)
             losses.update(
                 nerf_head_losses(
-                    density, semantic, color, batch["rays"], batch["bda"], c.nerf
+                    density, semantic, color, batch["rays"], batch["bda"],
+                    c.nerf, mesh=mesh,
                 )
             )
 
@@ -593,9 +601,9 @@ class PreWorld(nn.Module):
         return {"semantic_occ": occ.astype(jnp.int32),
                 "geo_occ": geo.astype(jnp.int32)}
 
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False, mesh=None):
         """Init/compile entry: runs the full loss path when training inputs
         are present, else predict."""
         if "rays" in batch or "voxel_semantics" in batch:
-            return self.loss(batch, train=train)
+            return self.loss(batch, train=train, mesh=mesh)
         return self.predict(batch)

@@ -134,7 +134,8 @@ class PreWorld4DTraj(PreWorld):
         return out
 
     def _future_step_losses(
-        self, voxel_feats, ego_states, tgt, traj_gt, rays, bda, train
+        self, voxel_feats, ego_states, tgt, traj_gt, rays, bda, train,
+        mesh=None,
     ):
         """One rollout step + its losses, un-suffixed. Factored out so the
         whole step can be rematerialized: the unrolled flagship rollout
@@ -151,12 +152,14 @@ class PreWorld4DTraj(PreWorld):
             terms.update(
                 nerf_head_losses(
                     density, semantic, color, rays, bda, c.nerf, suffix="",
+                    mesh=mesh,
                 )
             )
         terms["loss_traj"] = l2_traj_loss(pred_traj, traj_gt)
         return voxel_feats, terms
 
-    def loss(self, batch, train: bool = True, num_future: int = 2):
+    def loss(self, batch, train: bool = True, num_future: int = 2,
+             mesh=None):
         """Rollout training losses (`forward_train`, `:372-530`)."""
         c = self.cfg
         voxel_feats, depth = self.extract_voxel_feat(batch, train=train)
@@ -179,12 +182,14 @@ class PreWorld4DTraj(PreWorld):
             losses.update(
                 nerf_head_losses(
                     density, semantic, color, batch["rays"], batch["bda"],
-                    c.nerf, suffix="_0s",
+                    c.nerf, suffix="_0s", mesh=mesh,
                 )
             )
 
         step_fn = (
-            nn.remat(PreWorld4DTraj._future_step_losses, static_argnums=(7,))
+            nn.remat(
+                PreWorld4DTraj._future_step_losses, static_argnums=(7, 8)
+            )
             if c.remat else PreWorld4DTraj._future_step_losses
         )
         ego_states = batch["ego_states"]
@@ -200,7 +205,7 @@ class PreWorld4DTraj(PreWorld):
             voxel_feats, terms = step_fn(
                 self, voxel_feats, ego_states, tgt,
                 batch["temporal_trajs"][:, future - 1], rays, batch["bda"],
-                train,
+                train, mesh,
             )
             losses.update({k + f"_{future}s": v for k, v in terms.items()})
         return losses
@@ -230,9 +235,12 @@ class PreWorld4DTraj(PreWorld):
             out[f"semantic_occ_{step + 1}s"] = occ_of(voxel_feats)
         return out
 
-    def __call__(self, batch, train: bool = False, num_future: int = 2):
+    def __call__(self, batch, train: bool = False, num_future: int = 2,
+                 mesh=None):
         if "temporal_trajs" in batch:
-            return self.loss(batch, train=train, num_future=num_future)
+            return self.loss(
+                batch, train=train, num_future=num_future, mesh=mesh
+            )
         if "ego_states" in batch:
             return self.predict(batch)
         return super().predict(batch)

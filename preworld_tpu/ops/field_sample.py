@@ -111,6 +111,23 @@ def sample_corner_table_2d(
     return (out * valid[:, None].astype(jnp.float32)).astype(table.dtype)
 
 
+def _unnorm(p, n):
+    """align_corners=True mapping from [-1, 1] to [0, n-1] grid coords."""
+    return (p + 1.0) * 0.5 * (n - 1)
+
+
+def _floor_in_bounds(f0, n):
+    """Zero-padding validity of a FLOORED grid coord along one axis.
+
+    Single source of truth for "does this sample touch the real field at
+    all" — used by `_trilinear_coords` (the sampler's valid mask) and by the
+    backward live-sample mask in `_corner8_scatter_grad`. The two MUST agree:
+    if the live mask dropped a point the sampler treats as valid, the compact
+    backward would silently lose its gradient with no fallback triggering.
+    """
+    return (f0 + 1 >= 0) & (f0 <= n - 1)
+
+
 def _trilinear_coords(dims_xyz, pts_norm, dtype):
     """Shared index/weight math for the corner-table samplers.
 
@@ -119,9 +136,9 @@ def _trilinear_coords(dims_xyz, pts_norm, dtype):
     """
     X, Y, Z = dims_xyz
     p = pts_norm.reshape(-1, 3)
-    x = (p[:, 0] + 1.0) * 0.5 * (X - 1)
-    y = (p[:, 1] + 1.0) * 0.5 * (Y - 1)
-    z = (p[:, 2] + 1.0) * 0.5 * (Z - 1)
+    x = _unnorm(p[:, 0], X)
+    y = _unnorm(p[:, 1], Y)
+    z = _unnorm(p[:, 2], Z)
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     fx = (x - x0).astype(dtype)
     fy = (y - y0).astype(dtype)
@@ -130,9 +147,9 @@ def _trilinear_coords(dims_xyz, pts_norm, dtype):
     ys = jnp.clip(y0 + 1, 0, Y).astype(jnp.int32)
     zs = jnp.clip(z0 + 1, 0, Z).astype(jnp.int32)
     valid = (
-        (x0 + 1 >= 0) & (x0 <= X - 1)
-        & (y0 + 1 >= 0) & (y0 <= Y - 1)
-        & (z0 + 1 >= 0) & (z0 <= Z - 1)
+        _floor_in_bounds(x0, X)
+        & _floor_in_bounds(y0, Y)
+        & _floor_in_bounds(z0, Z)
     )
     return xs, ys, zs, fx, fy, fz, valid
 
@@ -280,22 +297,24 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
     slots padded to 32 lanes) for the same no-3D-relayout reason as the
     forward's combine.
 
-    `live_cap` > 0 (requires (R, S, ...) inputs) turns on EXACT per-ray
-    live-sample compaction: the render's early-exit / threshold `where`s
-    give dead samples exactly-zero cotangents (see ops/render.py
-    alpha2weight and models/nerf_head.py), and typically only ~5-10% of
-    the R*S samples are live, so the scatter — descriptor-rate-bound on
-    TPU — shrinks ~S/cap-fold. Rays whose live count exceeds the cap
-    would lose gradient, so a lax.cond falls back to the full scatter
-    whenever ANY ray overflows: the result is exact for every input (the
-    cap only decides which of two exact paths runs).
+    `live_cap` > 0 (requires (R, S, ...) inputs) turns on EXACT two-tier
+    per-ray live-sample compaction: the render's early-exit / threshold
+    `where`s give dead samples exactly-zero cotangents (see ops/render.py
+    alpha2weight and models/nerf_head.py), and typically only ~4% of the
+    R*S samples are live once OOB rows are masked, so the scatter —
+    descriptor-rate-bound on TPU — shrinks ~S/cap-fold. Tier 1 scatters
+    up to `live_cap` live samples per ray; rays whose live count exceeds
+    the cap (grazing rays) are zeroed in tier 1 and scattered WHOLE in a
+    k_over-ray tier 2 pass, so the result is exact; only >k_over
+    overflowing rays trips the lax.cond full-scatter fallback (every
+    branch is exact — the caps only decide which exact path runs).
     """
     X, Y, Z = dims_xyz
     C = field_shape[-1]
     slot = _corner_slot(C)
     dt = g.dtype
 
-    def scatter_to_tab(g_flat, pts_flat):
+    def scatter_to_tab(g_flat, pts_flat, tab=None):
         P = g_flat.shape[0]
 
         def seg_scatter(tab, args):
@@ -330,7 +349,8 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
             pts_flat = jnp.pad(
                 pts_flat, ((0, pad), (0, 0)), constant_values=-10.0
             )
-        tab = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8 * slot), dt)
+        if tab is None:
+            tab = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8 * slot), dt)
         if n_seg == 1:
             tab, _ = seg_scatter(tab, (g_flat, pts_flat))
         else:
@@ -366,28 +386,56 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
         # (measured: trained-regime cotangents are 24% dense by g != 0
         # alone, but only ~4% dense once OOB rows are masked).
         def _in_range(p, n):
-            f = jnp.floor((p + 1.0) * 0.5 * (n - 1))
-            return (f + 1 >= 0) & (f <= n - 1)
+            return _floor_in_bounds(jnp.floor(_unnorm(p, n)), n)
         inb = (
             _in_range(pts2[..., 0], X)
             & _in_range(pts2[..., 1], Y)
             & _in_range(pts2[..., 2], Z)
         )
         live = jnp.any(g2 != 0, axis=-1) & inb  # (R, S)
-        fits = jnp.max(live.sum(axis=1)) <= live_cap
+        # two-tier exact compaction (r4; VERDICT r3 next #3): the all-or-
+        # nothing cap never engaged at flagship scale because a handful of
+        # GRAZING rays (in-bounds by the one-cell tolerance but reading
+        # mostly zero padding) stay cotangent-live for 100-200+ samples
+        # (max 210 vs cap 128 measured in the opaque regime). Tier 1
+        # scatters the first `live_cap` live samples of every NON-overflow
+        # ray; tier 2 scatters `k_over` WHOLE rays (all S samples) for the
+        # overflow rays, which tier 1 zeroed. Every live sample lands in
+        # exactly one tier, so the result is exact; the lax.cond full-
+        # scatter fallback now fires only when >k_over rays overflow.
+        k_over = max(64, R // 64)
+        live_cnt = live.sum(axis=1)
+        over = live_cnt > live_cap  # (R,)
+        fits = over.sum() <= k_over
+
         def compact_branch():
-            # stable sort moves live samples to the front, preserving order
+            keep = live & ~over[:, None]
+            # stable sort moves kept samples to the front, preserving order
             order = jnp.argsort(
-                jnp.where(live, 0, 1).astype(jnp.int32), axis=1, stable=True
+                jnp.where(keep, 0, 1).astype(jnp.int32), axis=1, stable=True
             )[:, :live_cap]
             flat = (
                 jnp.arange(R, dtype=jnp.int32)[:, None] * S + order
             ).reshape(-1)
-            # ONE row gather for pts+g together (descriptor-bound either way)
-            rows = jnp.concatenate([pts2, g2], axis=-1).reshape(
+            # ONE row gather for pts+g together (descriptor-bound either
+            # way); overflow rays' updates are zeroed here and handled
+            # whole in tier 2
+            gz = g2 * (~over)[:, None, None].astype(dt)
+            rows = jnp.concatenate([pts2, gz], axis=-1).reshape(
                 R * S, 3 + C
             )[flat]
-            return scatter_to_tab(rows[:, 3:], rows[:, :3])
+            tab = scatter_to_tab(rows[:, 3:], rows[:, :3])
+            # tier 2: whole-ray scatter of the overflow rays. argsort puts
+            # overflow rays first; non-overflow padding rows are zeroed by
+            # `omask` (k_over*S extra descriptors — ~1-2% of the full
+            # scatter at flagship scale)
+            ridx = jnp.argsort(
+                jnp.where(over, 0, 1).astype(jnp.int32), stable=True
+            )[:k_over]
+            omask = over[ridx].astype(dt)  # (k_over,)
+            g_o = (g2[ridx] * omask[:, None, None]).reshape(-1, C)
+            pts_o = pts2[ridx].reshape(-1, 3)
+            return scatter_to_tab(g_o, pts_o, tab=tab)
 
         tab = jax.lax.cond(
             fits,

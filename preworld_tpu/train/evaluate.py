@@ -120,6 +120,7 @@ def evaluate_miou(
     batch_size: Optional[int] = None,
     predict_fn: Optional[Callable] = None,
     dump_fn: Optional[Callable[[int, np.ndarray], None]] = None,
+    fscore_metric=None,
 ) -> Dict:
     """Run 3-D occ mIoU over `samples` (dicts of per-sample arrays).
 
@@ -128,6 +129,10 @@ def evaluate_miou(
     batch and defaults to one sample per local data-axis device. Samples
     must carry `voxel_semantics` (+ optional masks) for scoring; inference
     uses only INFER_KEYS.
+
+    `fscore_metric`: optional `MetricFScore` scored on the same predictions
+    (the reference's `--eval mIoU` runs both metrics together,
+    `occ_metrics.py:322-410`); its results merge into the returned dict.
     """
     batch_size = batch_size or max(
         1, mesh.shape["data"] // jax.process_count()
@@ -159,9 +164,27 @@ def evaluate_miou(
                     batch.get("mask_lidar", [None] * batch_size)[j],
                     batch.get("mask_camera", [None] * batch_size)[j],
                 )
+                if fscore_metric is not None:
+                    fscore_metric.add_batch(
+                        occ[j],
+                        batch["voxel_semantics"][j],
+                        batch.get("mask_lidar", [None] * batch_size)[j],
+                        batch.get("mask_camera", [None] * batch_size)[j],
+                    )
         seen += n_valid
     metric.hist = all_hosts_sum(metric.hist)
-    return metric.count_miou()
+    results = metric.count_miou()
+    if fscore_metric is not None:
+        # per-sample means: sum the (weighted) accumulators across hosts
+        sums = all_hosts_sum(np.asarray([
+            fscore_metric.tot_acc, fscore_metric.tot_cmpl,
+            fscore_metric.tot_f1, float(fscore_metric.cnt),
+        ]))
+        fscore_metric.tot_acc, fscore_metric.tot_cmpl, \
+            fscore_metric.tot_f1 = sums[0], sums[1], sums[2]
+        fscore_metric.cnt = int(sums[3])
+        results.update(fscore_metric.count_fscore())
+    return results
 
 
 def evaluate_miou_temporal(

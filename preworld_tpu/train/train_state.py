@@ -74,22 +74,58 @@ def ema_decay_schedule(updates: jnp.ndarray, decay: float = 0.999) -> jnp.ndarra
     return decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / 2000.0))
 
 
+def _fast_init_variables(model, batch, rng):
+    """Shape-only init: eval_shape the real model.init, then fill leaves
+    host-side (kernels: small deterministic normals; BN var/scale: ones;
+    mean/bias: zeros). Skips the init forward's XLA compile (~40 s for the
+    tiny dryrun model on 1 CPU core) — for compile checks and dryruns
+    where weight VALUES don't matter, not for real training."""
+    import numpy as np
+    import zlib
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r, "dropout": jax.random.fold_in(r, 1)},
+            batch,
+            train=True,
+        ),
+        rng,
+    )
+
+    def fill(path, s):
+        last = path[-1]
+        name = getattr(last, "key", str(last))
+        if name in ("var", "scale"):
+            return jnp.ones(s.shape, s.dtype)
+        if name in ("mean", "bias"):
+            return jnp.zeros(s.shape, s.dtype)
+        seed = zlib.adler32(jax.tree_util.keystr(path).encode())
+        vals = np.random.default_rng(seed).normal(0.0, 0.02, s.shape)
+        return jnp.asarray(vals.astype(np.float32)).astype(s.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def create_train_state(
     model,
     batch,
     tx: optax.GradientTransformation,
     rng: jax.Array,
     init_ema_updates: int = 0,
+    fast_init: bool = False,
 ) -> TrainState:
-    @jax.jit
-    def _init(rng):
-        return model.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-            batch,
-            train=True,
-        )
+    if fast_init:
+        variables = _fast_init_variables(model, batch, rng)
+    else:
+        @jax.jit
+        def _init(rng):
+            return model.init(
+                {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                batch,
+                train=True,
+            )
 
-    variables = _init(rng)
+        variables = _init(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

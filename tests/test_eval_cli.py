@@ -43,10 +43,14 @@ def test_bevstereo_occ_eval_cli(tmp_path, capsys):
     cfg_path.write_text(BEVSTEREO_TINY_CFG)
     run_cli(
         os.path.join(REPO, "tools", "test.py"),
-        [str(cfg_path), "--synthetic", "--num-samples", "2"],
+        [str(cfg_path), "--synthetic", "--num-samples", "2",
+         "--eval", "miou", "fscore"],
     )
-    out = capsys.readouterr()
-    assert "miou" in (out.out + out.err).lower()
+    cap = capsys.readouterr()
+    out = (cap.out + cap.err).lower()
+    assert "miou" in out
+    # --eval fscore merges chamfer accuracy/completeness/f1 into results
+    assert "fscore" in out and "completeness" in out
 
 
 TRAJ_TINY_CFG = """

@@ -4,10 +4,77 @@ import os
 
 import numpy as np
 
-from preworld_tpu.metrics import MetricMIoU, MetricMIoUTemporal, fast_hist
+from preworld_tpu.metrics import (
+    MetricFScore,
+    MetricMIoU,
+    MetricMIoUTemporal,
+    fast_hist,
+)
 from preworld_tpu.utils import Config
 
 CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "preworld")
+
+
+class TestFScore:
+    """Hand-computed chamfer cases (reference `occ_metrics.py:322-410`)."""
+
+    def _metric(self, **kw):
+        # unit voxels anchored at the origin: voxel (i,j,k) -> center +0.5
+        kw.setdefault("voxel_size", (1.0, 1.0, 1.0))
+        kw.setdefault("pc_range", (0, 0, 0, 4, 4, 2))
+        kw.setdefault("void", (17, 255))
+        return MetricFScore(**kw)
+
+    def test_hand_computed_chamfer(self):
+        """gt {(0,0,0),(2,2,1)}, pred {(0,0,0),(3,2,1)}: one exact match,
+        one pair 1.0 m apart -> acc = cmpl = 0.5 at the 0.6 m threshold,
+        f1 = 2/(1/0.5 + 1/0.5) = 0.5."""
+        m = self._metric()
+        gt = np.full((4, 4, 2), 17, np.int64)
+        pred = np.full((4, 4, 2), 17, np.int64)
+        gt[0, 0, 0] = 3
+        gt[2, 2, 1] = 5
+        pred[0, 0, 0] = 3
+        pred[3, 2, 1] = 5
+        m.add_batch(pred, gt)
+        res = m.count_fscore()
+        assert abs(res["accuracy"] - 0.5) < 1e-6
+        assert abs(res["completeness"] - 0.5) < 1e-6
+        assert abs(res["fscore"] - 0.5) < 1e-4
+
+    def test_threshold_admits_neighbor(self):
+        """Same geometry with a 1.1 m threshold: the 1.0 m pair now counts
+        -> perfect scores."""
+        m = self._metric(threshold_acc=1.1, threshold_complete=1.1)
+        gt = np.full((4, 4, 2), 17, np.int64)
+        pred = np.full((4, 4, 2), 17, np.int64)
+        gt[0, 0, 0] = 3
+        gt[2, 2, 1] = 5
+        pred[0, 0, 0] = 3
+        pred[3, 2, 1] = 5
+        m.add_batch(pred, gt)
+        res = m.count_fscore()
+        assert res["fscore"] > 0.999
+
+    def test_camera_mask_and_averaging(self):
+        """Masked-out voxels become void (255) pre-chamfer, and per-sample
+        scores average: (0.5 + 1.0) / 2 = 0.75."""
+        m = self._metric(use_image_mask=True)
+        gt = np.full((4, 4, 2), 17, np.int64)
+        pred = np.full((4, 4, 2), 17, np.int64)
+        gt[0, 0, 0] = 3
+        gt[2, 2, 1] = 5
+        pred[0, 0, 0] = 3
+        pred[3, 2, 1] = 5
+        m.add_batch(pred, gt, mask_camera=np.ones((4, 4, 2), bool))
+        # second sample: the mask hides the mismatched pair -> perfect
+        mask = np.ones((4, 4, 2), bool)
+        mask[2, 2, 1] = mask[3, 2, 1] = False
+        m.add_batch(pred, gt, mask_camera=mask)
+        res = m.count_fscore()
+        assert res["count"] == 2
+        assert abs(res["accuracy"] - 0.75) < 1e-6
+        assert abs(res["fscore"] - 0.75) < 1e-3
 
 
 class TestMIoU:

@@ -178,6 +178,73 @@ class TestSequentialStreaming:
         assert cache["bev_feat"].shape[0] == 1
 
 
+class TestStreamingConsistency:
+    def test_streaming_converges_to_full_forward(self):
+        """After the cache warms (2 steps), the streaming path's prediction
+        matches the full 3-frame forward on the same synthetic sequence
+        (VERDICT r3 next #10).
+
+        With CONSTANT ego pose the two paths are algebraically equal: the
+        streaming prev-BEV ego alignment (shift_voxel_feature) is the
+        identity, and the cached frame-B voxel feature was computed with
+        stereo reference A — exactly what the full forward computes for its
+        adjacent frame. Streaming is the reference `accelerate` mode analog
+        (`view_transformer.py:155-174`, `bevdet.py:373-396`)."""
+        import numpy as np
+
+        cfg = tiny_config(if_post_finetune=True, if_render=False,
+                          use_lss_depth_loss=False)
+        model = PreWorld(cfg)
+        full_np = synthetic_batch(cfg, 1, 64)
+        for k in ("sensor2egos", "ego2globals", "intrins", "post_rots",
+                  "post_trans"):
+            full_np[k] = np.repeat(np.asarray(full_np[k][:, :1]), 3, axis=1)
+        full = {k: jnp.asarray(v) for k, v in full_np.items()}
+        from preworld_tpu.train import create_train_state, make_optimizer
+
+        state = create_train_state(
+            model, full, make_optimizer(), jax.random.PRNGKey(0),
+            fast_init=True,
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def frame_batch(t):
+            return {
+                "imgs": full["imgs"][:, t],
+                "sensor2egos": full["sensor2egos"][:, t],
+                "ego2globals": full["ego2globals"][:, t],
+                "intrins": full["intrins"][:, t],
+                "post_rots": full["post_rots"][:, t],
+                "post_trans": full["post_trans"][:, t],
+                "bda": full["bda"],
+            }
+
+        # stream in time order: prev2 (t=2), prev (t=1), key (t=0)
+        cache = model.apply(
+            variables, frame_batch(2), method=model.init_sequential_cache
+        )
+        out_s = None
+        for t in (2, 1, 0):
+            out_s, cache = model.apply(
+                variables, frame_batch(t), cache,
+                method=model.predict_sequential,
+            )
+
+        infer = {
+            k: full[k]
+            for k in ("imgs", "sensor2egos", "ego2globals", "intrins",
+                      "post_rots", "post_trans", "bda")
+        }
+        out_f = model.apply(variables, infer, train=False)
+
+        occ_s = np.asarray(out_s["semantic_occ"])
+        occ_f = np.asarray(out_f["semantic_occ"])
+        agree = (occ_s == occ_f).mean()
+        # identical math up to resampling-order f32 noise; argmax ties can
+        # flip isolated voxels
+        assert agree >= 0.99, f"streaming/full agreement {agree:.4f}"
+
+
 class TestShiftFeature:
     def test_identity_motion_is_identity(self):
         """Zero ego motion => shift_voxel_feature is (interior) identity."""

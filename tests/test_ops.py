@@ -308,13 +308,52 @@ class TestFieldSample:
             np.asarray(compact), np.asarray(full), rtol=1e-5, atol=1e-6
         )
 
-    def test_live_cap_overflow_falls_back(self):
-        """A single overflowing ray flips the lax.cond to the full scatter —
-        results stay exact (no dropped gradient)."""
+    def test_live_cap_overflow_rays_take_tier2(self):
+        """Grazing-style rays whose live count exceeds the cap are zeroed in
+        the compact pass and scattered WHOLE in the k_over-ray second tier
+        (r4 two-tier scheme) — results stay exact (no dropped gradient) and
+        the compact path keeps running for the other rays."""
         full = self._live_cap_grads([3, 30, 2], 0, seed=11)
         capped = self._live_cap_grads([3, 30, 2], 8, seed=11)
         np.testing.assert_allclose(
             np.asarray(capped), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+
+    def test_live_cap_mass_overflow_falls_back(self):
+        """More rays overflow than the tier-2 window (k_over = max(64,
+        R//64)) -> the lax.cond full-scatter fallback fires; exact."""
+        # 72 of 96 rays carry 20 live samples vs cap 8 -> over.sum() > 64
+        pattern = [20, 20, 20, 3]
+        from preworld_tpu.ops.field_sample import (
+            build_parity_tables,
+            sample_tables_fused,
+        )
+
+        rng = np.random.default_rng(17)
+        field = jnp.asarray(rng.normal(size=(9, 7, 5, 21)).astype(np.float32))
+        R, S = 96, 33
+        pts = jnp.asarray(
+            rng.uniform(-0.9, 0.9, size=(R, S, 3)).astype(np.float32)
+        )
+        cot = np.zeros((R, S, 21), np.float32)
+        for r in range(R):
+            pos = rng.choice(S, size=pattern[r % 4], replace=False)
+            cot[r, pos] = rng.normal(size=(pattern[r % 4], 21))
+        cot = jnp.asarray(cot)
+        t_e, t_o = build_parity_tables(field)
+        te = jax.lax.stop_gradient(t_e)
+        to = jax.lax.stop_gradient(t_o)
+
+        def grad_at(cap_):
+            return jax.grad(
+                lambda f: (
+                    cot * sample_tables_fused(f, te, to, pts, cap_)
+                ).sum()
+            )(field)
+
+        np.testing.assert_allclose(
+            np.asarray(grad_at(8)), np.asarray(grad_at(0)),
+            rtol=1e-5, atol=1e-6,
         )
 
     def test_live_cap_ignores_oob_cotangents(self):
@@ -402,6 +441,62 @@ class TestRender:
                 float(chunked[k]), float(dense[k]), rtol=2e-5, atol=1e-6,
                 err_msg=k,
             )
+
+    def test_sharded_render_matches_dense(self):
+        """shard_map render (scenes over 'data', rays over 'seq') == the
+        dense unsharded path — losses AND gradients. Covers the scene-wide
+        distortion psum and the per-device live_cap backward under manual
+        sharding (models/nerf_head.py::_render_batch)."""
+        import dataclasses
+        from preworld_tpu.models.nerf_head import (
+            NerfHeadConfig,
+            nerf_head_losses,
+        )
+        from preworld_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(3)
+        B, R, X, Y, Z = 4, 64, 12, 12, 6
+        density = jnp.asarray(rng.normal(size=(B, X, Y, Z)).astype(np.float32))
+        semantic = jnp.asarray(
+            rng.normal(size=(B, X, Y, Z, 17)).astype(np.float32)
+        )
+        color = jnp.asarray(rng.normal(size=(B, X, Y, Z, 3)).astype(np.float32))
+        rays = np.zeros((B, R, 16), np.float32)
+        rays[..., 2] = rng.uniform(1, 30, (B, R))
+        rays[..., 2, ::5] = 0.0
+        rays[..., 3] = rng.integers(0, 17, (B, R))
+        rays[..., 4:7] = rng.uniform(-2, 2, (B, R, 3))
+        rays[..., 7:10] = rng.normal(size=(B, R, 3))
+        rays[..., 13:16] = rng.uniform(0, 1, (B, R, 3))
+        rays = jnp.asarray(rays)
+        bda = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        cfg = NerfHeadConfig()
+        mesh = make_mesh(n_data=4, n_seq=2)
+
+        def total(de, mesh_):
+            return sum(
+                nerf_head_losses(
+                    de, semantic, color, rays, bda, cfg, mesh=mesh_
+                ).values()
+            )
+
+        dense = nerf_head_losses(density, semantic, color, rays, bda, cfg)
+        sharded = jax.jit(
+            lambda de: nerf_head_losses(
+                de, semantic, color, rays, bda, cfg, mesh=mesh
+            )
+        )(density)
+        assert dense.keys() == sharded.keys()
+        for k in dense:
+            np.testing.assert_allclose(
+                float(sharded[k]), float(dense[k]), rtol=2e-5, atol=1e-6,
+                err_msg=k,
+            )
+        g_dense = jax.grad(lambda de: total(de, None))(density)
+        g_shard = jax.jit(jax.grad(lambda de: total(de, mesh)))(density)
+        np.testing.assert_allclose(
+            np.asarray(g_shard), np.asarray(g_dense), rtol=2e-4, atol=1e-6
+        )
 
     def test_spec_counts_match_reference(self):
         """With the paper config: bg_len=1/39, world_len=200, step 0.5

@@ -108,19 +108,22 @@ def main():
     print(json.dumps({"stage": "scatter_only_full", "ms": round(t * 1e3, 1)}))
 
     # scatter with ~5% live cotangents + live_cap compaction
-    live = jnp.asarray(
-        (rng.uniform(size=(R, S, 1)) < 0.05).astype(np.float32)
-    )
+    live = jnp.asarray(rng.uniform(size=(R, S, 1)) < 0.05)  # bool
     g_sparse = g * live
     # the vary-inputs perturbation must NOT resurrect dead cotangents
     # (g + 1e-6 would make every sample live and silently time the full-
-    # scatter branch) — re-mask inside the jitted fn so sparsity survives
+    # scatter branch) — re-mask inside the jitted fn so sparsity survives.
+    # The mask is an explicit BOOL argument (timeit only perturbs f32/bf16,
+    # so it survives vary-inputs; closing over it would embed a ~64 MB jit
+    # constant — the relay's HTTP 413 failure mode, see CLAUDE.md)
     scat_cap = jax.jit(
-        lambda p, gg: _corner8_scatter_grad(
-            (200, 200, 16, C), (200, 200, 16), p, gg * live, live_cap=64
+        lambda p, gg, lv: _corner8_scatter_grad(
+            (200, 200, 16, C), (200, 200, 16), p, gg * lv, live_cap=64
         )
     )
-    t = timeit(scat_cap, pts, g_sparse, n=n, readback=lambda o: o[0, 0, 0, 0])
+    t = timeit(
+        scat_cap, pts, g_sparse, live, n=n, readback=lambda o: o[0, 0, 0, 0]
+    )
     print(json.dumps({"stage": "scatter_cap64_5pct", "ms": round(t * 1e3, 1)}))
 
     # --- per-term grad bisection (transparent regime: all samples live) --

@@ -26,6 +26,12 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None,
                    help="eval batch (default: one sample per device)")
     p.add_argument("--out", default=None, help="dump predictions .npz dir")
+    p.add_argument("--eval", nargs="+", default=["miou"],
+                   choices=["miou", "mIoU", "fscore"],
+                   help="metrics to compute: miou (default) and/or fscore "
+                        "(chamfer F-score, reference "
+                        "occ_metrics.py:322-410). mIoU always runs; fscore "
+                        "adds accuracy/completeness/f1 to the results")
     p.add_argument("--fuse-conv-bn", action="store_true",
                    help="fold BN into convs before eval (reference "
                         "tools/test.py:48,220-221; exact transform)")
@@ -151,11 +157,24 @@ def main():
                 os.path.join(args.out, f"{i:06d}.npz"), semantics=occ
             )
 
+    fscore_metric = None
+    if "fscore" in args.eval:
+        from preworld_tpu.metrics import MetricFScore
+
+        g = cfg["grid_config"]
+        fscore_metric = MetricFScore(
+            voxel_size=(g["x"][2], g["y"][2], g["z"][2]),
+            pc_range=(g["x"][0], g["y"][0], g["z"][0],
+                      g["x"][1], g["y"][1], g["z"][1]),
+            void=(model.cfg.num_classes - 1, 255),
+            use_image_mask=True,
+        )
+
     results = evaluate_miou(
         model, state, chain(), mesh,
         num_classes=model.cfg.num_classes, use_image_mask=True,
         batch_size=args.batch_size, dump_fn=dump_fn,
-        predict_fn=predict_fn,
+        predict_fn=predict_fn, fscore_metric=fscore_metric,
     )
     print(results)
 

@@ -201,7 +201,7 @@ def main():
 
     step_factory = None
     ema_decay = float(cfg.get("ema", {}).get("decay", 0.999))
-    train_step = make_train_step(model, tx, ema_decay=ema_decay)
+    train_step = make_train_step(model, tx, ema_decay=ema_decay, mesh=mesh)
     if cfg["model"].get("type") == "PreWorld4DTraj":
         # rollout-length curriculum (`preworld_temporal_traj.py:440-449`)
         from functools import lru_cache
@@ -211,7 +211,8 @@ def main():
         @lru_cache(maxsize=8)
         def _step_for(n_future):
             return make_train_step(
-                model, tx, ema_decay=ema_decay, num_future=n_future
+                model, tx, ema_decay=ema_decay, num_future=n_future,
+                mesh=mesh,
             )
 
         def step_factory(epoch):
