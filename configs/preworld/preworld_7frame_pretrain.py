@@ -24,13 +24,16 @@ model = dict(
         weight_distortion=0.01,
         # exact TWO-TIER live-sample compaction of the render backward
         # scatter (ops/field_sample.py::_corner8_scatter_grad): tier 1
-        # scatters <=cap live samples per ray; grazing rays that exceed the
-        # cap are scattered whole in a ~R/64-ray tier 2 pass; only >R/64
+        # scatters a contiguous <=cap-sample window over each ray's live
+        # span; rays whose span exceeds the cap (~12% of live rays on a
+        # realistic scene — wall-grazing transmittance chains) are
+        # scattered whole in a k_over = R/8 tier 2 pass; only >k_over
         # overflowing rays (e.g. a fully transparent random-init field)
-        # trips the full-scatter fallback. Exact on every branch. The r3
-        # single-tier cap never engaged at flagship scale (grazing rays
-        # blew the all-or-nothing check — docs/ROUND3_STATUS.md).
-        bwd_live_cap=128,
+        # trips the full-scatter fallback. Exact on every branch.
+        # cap 64 measured (r4): realistic-scene full render grad
+        # 876 -> 696 ms; cap 128 compacts less (854). The r3 single-tier
+        # cap never engaged at flagship scale (docs/ROUND3_STATUS.md).
+        bwd_live_cap=64,
     ),
 )
 

@@ -19,7 +19,7 @@ model = dict(
     nerf_head=dict(
         point_cloud_range=[-50.0, -50.0, -4.0, 50.0, 50.0, 4.0],
         radius=49,
-        bwd_live_cap=128,  # exact compaction; see preworld_7frame_pretrain.py
+        bwd_live_cap=64,  # exact two-tier compaction; see preworld_7frame_pretrain.py
     ),
 )
 

@@ -77,22 +77,58 @@ def gen_stereo_grid(
     B, N = k2s_sensor.shape[:2]
     D, H, W = frustum.shape[:3]
     hi, wi = img_size_hw
-    pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
-    inv_post = jnp.linalg.inv(post_rots)
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
-    pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], -1)
     rots = k2s_sensor[:, :, :3, :3]
     trans = k2s_sensor[:, :, :3, 3]
-    combine = rots @ jnp.linalg.inv(intrins)
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
-    pts = pts + trans[:, :, None, None, None, :]
-    neg_mask = pts[..., 2] < 1e-3
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", intrins, pts)
-    pts = pts[..., :2] / pts[..., 2:3]
-    pts = jnp.einsum("bnij,bndhwj->bndhwi", post_rots[:, :, :2, :2], pts)
-    pts = pts + post_trans[:, :, None, None, None, :2]
-    px = pts[..., 0] / (wi - 1.0) * 2.0 - 1.0
-    py = pts[..., 1] / (hi - 1.0) * 2.0 - 1.0
+    inv_post = jnp.linalg.inv(post_rots)
+
+    # The chain is projective: only the homogeneous lift (xy * z) and the
+    # final perspective divide are nonlinear, and both are elementwise. All
+    # matrix stages therefore compose into per-(b, n) SCALAR coefficients,
+    # and the whole grid is a fused elementwise polynomial in the frustum
+    # coords — the previous formulation ran FOUR einsums over the
+    # (B, N, D, H, W, 3) point array, each breaking XLA fusion and
+    # materializing a ~285 MB intermediate at flagship scale (this chain,
+    # not the Pallas kernel, dominated the cost-volume stage's HBM bytes).
+    # Composition assumes the standard pinhole K with third row (0, 0, 1) —
+    # true for every shipped dataset — under which the camera-frame z used
+    # for the behind-camera mask is preserved by K.
+    #
+    # With q = inv_post @ (p - post_trans) = L[:, :3] @ p + L[:, 3] and the
+    # lift q' = (qx qz, qy qz, qz):
+    #   r = K R K^-1 q' + K t  =>  r_i = qz * (M_i0 qx + M_i1 qy + M_i2)
+    #                                    + t1_i
+    # i.e. r_i = qz * s_i + t1_i with s, qz affine in (u, v, d).
+    tp = jnp.einsum("bnij,bnj->bni", inv_post, post_trans)
+    L = jnp.concatenate([inv_post, -tp[..., None]], axis=-1)  # (B, N, 3, 4)
+    M = intrins @ rots @ jnp.linalg.inv(intrins)  # K R K^-1
+    t1 = jnp.einsum("bnij,bnj->bni", intrins, trans)
+    S = jnp.einsum("bnik,bnkj->bnij", M[:, :, :, :2], L[:, :, :2, :])
+    S = S.at[:, :, :, 3].add(M[:, :, :, 2])  # constant M_i2 term
+
+    u, v, dd = frustum[..., 0], frustum[..., 1], frustum[..., 2]  # (D, H, W)
+
+    def affine(c):  # c: (B, N, 4) -> broadcast-evaluated (B, N, D, H, W)
+        c = c[:, :, None, None, None, :]
+        return c[..., 0] * u + c[..., 1] * v + c[..., 2] * dd + c[..., 3]
+
+    qz = affine(L[:, :, 2])
+    z = qz * affine(S[:, :, 2]) + t1[:, :, 2, None, None, None]
+    x = qz * affine(S[:, :, 0]) + t1[:, :, 0, None, None, None]
+    y = qz * affine(S[:, :, 1]) + t1[:, :, 1, None, None, None]
+    neg_mask = z < 1e-3
+    x = x / z
+    y = y / z
+    # fold the 2-D post-aug rotation, translation and [-1, 1] normalization
+    # into the same per-(b, n) scalar form
+    sx, sy = 2.0 / (wi - 1.0), 2.0 / (hi - 1.0)
+
+    def c2(i, j):
+        return (post_rots[:, :, i, j])[:, :, None, None, None]
+
+    tx = (post_trans[:, :, 0] * sx - 1.0)[:, :, None, None, None]
+    ty = (post_trans[:, :, 1] * sy - 1.0)[:, :, None, None, None]
+    px = (c2(0, 0) * x + c2(0, 1) * y) * sx + tx
+    py = (c2(1, 0) * x + c2(1, 1) * y) * sy + ty
     px = jnp.where(neg_mask, -2.0, px)
     py = jnp.where(neg_mask, -2.0, py)
     grid = jnp.stack([px, py], axis=-1)

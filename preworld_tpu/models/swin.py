@@ -90,9 +90,31 @@ class WindowMSA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, fused=False):
-        """x: (nW*B, N, C); mask: (nW, N, N) or None; fused selects the
-        Pallas fused-attention kernel (inference-only, TPU)."""
+    def __call__(self, x, mask=None, fused=False, band=False):
+        """x: (nW*B, N, C) — or (B, Hp, Wp, C) image layout when `band`;
+        mask: (nW, N, N) or None; fused selects the Pallas fused-attention
+        kernel; band additionally uses the band kernel that consumes/emits
+        the image layout directly (no window partition/reverse relayouts —
+        see ops/window_attn_pallas.py band section)."""
+        if band:
+            B, Hp, Wp, C = x.shape
+            ws = self.window_size
+            N = ws * ws
+            h = self.num_heads
+            qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(x)
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * ws - 1) ** 2, h),
+            )
+            idx = relative_position_index(ws)
+            bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+            from ..ops.window_attn_pallas import band_window_attention_vjp
+
+            out = band_window_attention_vjp(qkv, bias, mask, h, ws)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
         Bn, N, C = x.shape
         h = self.num_heads
         head_dim = C // h
@@ -146,6 +168,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
     use_fused_mlp: Any = None  # None = auto (TPU inference); bool forces
+    use_band_attn: Any = None  # None = auto (with fused attn, C % 128 == 0)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,7 +190,6 @@ class SwinBlock(nn.Module):
             mask = shifted_window_mask(Hp, Wp, ws, shift)
         else:
             mask = None
-        wins = window_partition(y, ws)
         # fused Pallas attention on TPU; the flash-style custom VJP
         # (window_attn_pallas.fused_window_attention_vjp) covers training
         # too. use_fused_attn overrides the backend auto-detect (trace-time
@@ -178,10 +200,23 @@ class SwinBlock(nn.Module):
         if fused is None:
             fused = jax.default_backend() == "tpu"
         fused = fused and (ws * ws) % 16 == 0
-        wins = WindowMSA(
+        # band kernel: consumes/emits the padded (B, Hp, Wp, .) image layout
+        # directly, so window partition/reverse relayouts (XLA materializes
+        # ~5-7 full-size copies per block for the 6-D transposes) vanish.
+        # Needs lane-aligned channels for the in-kernel head slices.
+        band = self.use_band_attn
+        if band is None:
+            band = fused
+        band = band and fused and C % 128 == 0
+        msa = WindowMSA(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(wins, mask, fused=fused)
-        y = window_reverse(wins, ws, Hp, Wp)
+        )
+        if band:
+            y = msa(y, mask, band=True)  # (B, Hp, Wp, C)
+        else:
+            wins = window_partition(y, ws)
+            wins = msa(wins, mask, fused=fused)
+            y = window_reverse(wins, ws, Hp, Wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :H, :W].reshape(B, L, C)
@@ -285,6 +320,7 @@ class SwinTransformer(nn.Module):
     patch_norm: bool = True
     use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
     use_fused_mlp: Any = None  # None = auto (TPU inference); bool forces
+    use_band_attn: Any = None  # None = auto (see SwinBlock)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -326,6 +362,7 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_id]),
                     use_fused_attn=self.use_fused_attn,
                     use_fused_mlp=self.use_fused_mlp,
+                    use_band_attn=self.use_band_attn,
                     dtype=self.dtype,
                     name=f"stage{i}_block{j}",
                 )(x, hw, train)

@@ -302,12 +302,13 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
     `where`s give dead samples exactly-zero cotangents (see ops/render.py
     alpha2weight and models/nerf_head.py), and typically only ~4% of the
     R*S samples are live once OOB rows are masked, so the scatter —
-    descriptor-rate-bound on TPU — shrinks ~S/cap-fold. Tier 1 scatters
-    up to `live_cap` live samples per ray; rays whose live count exceeds
-    the cap (grazing rays) are zeroed in tier 1 and scattered WHOLE in a
-    k_over-ray tier 2 pass, so the result is exact; only >k_over
-    overflowing rays trips the lax.cond full-scatter fallback (every
-    branch is exact — the caps only decide which exact path runs).
+    descriptor-rate-bound on TPU — shrinks ~S/cap-fold. Tier 1 scatters a
+    contiguous `live_cap`-sample window covering each ray's live span
+    (sort-free — see the in-code comment); rays whose span exceeds the cap
+    (grazing rays) are zeroed in tier 1 and scattered WHOLE in a k_over-ray
+    tier 2 pass, so the result is exact; only >k_over overflowing rays
+    trips the lax.cond full-scatter fallback (every branch is exact — the
+    caps only decide which exact path runs).
     """
     X, Y, Z = dims_xyz
     C = field_shape[-1]
@@ -398,33 +399,50 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
         # GRAZING rays (in-bounds by the one-cell tolerance but reading
         # mostly zero padding) stay cotangent-live for 100-200+ samples
         # (max 210 vs cap 128 measured in the opaque regime). Tier 1
-        # scatters the first `live_cap` live samples of every NON-overflow
-        # ray; tier 2 scatters `k_over` WHOLE rays (all S samples) for the
-        # overflow rays, which tier 1 zeroed. Every live sample lands in
+        # scatters a CONTIGUOUS `live_cap`-sample window covering every
+        # non-overflow ray's live SPAN — samples are z-ordered along the
+        # ray, so the live set sits in one [first, last] interval and any
+        # dead samples inside the window scatter exact zeros. A windowed
+        # slice needs no 16M-element argsort (the argsort cost ate most of
+        # the compaction win: measured 825 vs 914 ms full-grad with it,
+        # and the sort alone is ~45 bitonic passes over (R, S) int32).
+        # Tier 2 scatters `k_over` WHOLE rays for the overflow rays
+        # (span > cap), which tier 1 zeroed. Every live sample lands in
         # exactly one tier, so the result is exact; the lax.cond full-
         # scatter fallback now fires only when >k_over rays overflow.
-        k_over = max(64, R // 64)
-        live_cnt = live.sum(axis=1)
-        over = live_cnt > live_cap  # (R,)
+        # k_over = R/8: measured on a realistic mostly-empty scene with
+        # opaque walls, ~12% of live rays (3.6k of 38.4k total) exceed a
+        # 64-sample span (wall-grazing transmittance chains) — an R/64
+        # budget made the fallback fire ALWAYS, silently disabling the
+        # compaction. Tier 2 stays descriptor-cheap (k_over*S ~= 2M vs
+        # the full path's 16M).
+        k_over = max(64, R // 8)
+        first = jnp.argmax(live, axis=1).astype(jnp.int32)  # (R,)
+        last = (S - 1) - jnp.argmax(live[:, ::-1], axis=1).astype(jnp.int32)
+        has = jnp.any(live, axis=1)
+        over = has & (last - first >= live_cap)  # span doesn't fit the cap
         fits = over.sum() <= k_over
 
         def compact_branch():
-            keep = live & ~over[:, None]
-            # stable sort moves kept samples to the front, preserving order
-            order = jnp.argsort(
-                jnp.where(keep, 0, 1).astype(jnp.int32), axis=1, stable=True
-            )[:, :live_cap]
+            # window start, clamped so the slice stays in-bounds; rays with
+            # no live samples scatter all-zero updates regardless (dead
+            # cotangents are exactly 0; OOB updates are valid-zeroed)
+            start = jnp.where(
+                ~over, jnp.minimum(first, S - live_cap), 0
+            )
+            offs = start[:, None] + jnp.arange(live_cap, dtype=jnp.int32)
             flat = (
-                jnp.arange(R, dtype=jnp.int32)[:, None] * S + order
+                jnp.arange(R, dtype=jnp.int32)[:, None] * S + offs
             ).reshape(-1)
-            # ONE row gather for pts+g together (descriptor-bound either
-            # way); overflow rays' updates are zeroed here and handled
-            # whole in tier 2
-            gz = g2 * (~over)[:, None, None].astype(dt)
-            rows = jnp.concatenate([pts2, gz], axis=-1).reshape(
-                R * S, 3 + C
-            )[flat]
-            tab = scatter_to_tab(rows[:, 3:], rows[:, :3])
+            # SEPARATE row gathers for pts and g (still descriptor-bound;
+            # a fused pts+g gather would first materialize a concatenated
+            # (R*S, 3+C) f32 copy — ~1.5 GB at flagship scale, which ate
+            # the entire compaction win). Overflow rays' updates are zeroed
+            # on the small GATHERED array and handled whole in tier 2.
+            pts_rows = pts2.reshape(R * S, 3)[flat]
+            g_rows = g2.reshape(R * S, C)[flat]
+            keep_row = jnp.repeat(~over, live_cap).astype(dt)[:, None]
+            tab = scatter_to_tab(g_rows * keep_row, pts_rows)
             # tier 2: whole-ray scatter of the overflow rays. argsort puts
             # overflow rays first; non-overflow padding rows are zeroed by
             # `omask` (k_over*S extra descriptors — ~1-2% of the full
@@ -444,17 +462,33 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
         )
     else:
         tab = scatter_to_tab(g.reshape(-1, C), pts_norm.reshape(-1, 3))
-    tab = tab.reshape(X + 1, Y + 1, Z + 1, 8, slot)[..., :C]
-    d_pad = jnp.zeros((X + 2, Y + 2, Z + 2, C), dt)
+    # dense fold back to the field as ONE conv instead of 8 sequential
+    # shifted .at[].add passes (each of those read + wrote the full padded
+    # field — ~1 GB of extra traffic at flagship scale, a fixed cost that
+    # swamped the compaction's descriptor savings):
+    #   d_field[x, y, z] = sum_corners tab[x+1-dx, y+1-dy, z+1-dz, corner]
+    # == a stride-1 VALID conv over the (X+1, Y+1, Z+1) corner table with a
+    # constant 0/1 (2, 2, 2) kernel whose tap (1-dx, 1-dy, 1-dz) selects
+    # corner (dx, dy, dz)'s channel block. One read of the table, one write
+    # of the field; the 8-term sums ride the MXU.
+    import numpy as np
+
+    w = np.zeros((2, 2, 2, 8 * slot, C), np.float32)
     k = 0
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
-                d_pad = d_pad.at[
-                    dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1
-                ].add(tab[..., k, :])
+                for c in range(C):
+                    w[1 - dx, 1 - dy, 1 - dz, k * slot + c, c] = 1.0
                 k += 1
-    return d_pad[1:-1, 1:-1, 1:-1]
+    out = jax.lax.conv_general_dilated(
+        tab.reshape(1, X + 1, Y + 1, Z + 1, 8 * slot),
+        jnp.asarray(w, dt),
+        (1, 1, 1),
+        "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out[0]
 
 
 @lru_cache(maxsize=64)

@@ -270,10 +270,13 @@ class TestFieldSample:
         scale = np.abs(np.asarray(exact)) + 1.0
         assert (err / scale).max() < 3e-2
 
-    def _live_cap_grads(self, live_per_ray, cap, seed=9):
+    def _live_cap_grads(self, live_per_ray, cap, seed=9, contiguous=False):
         """Gradient of sample_tables_fused with a SPARSE cotangent (most
         samples dead, like the render's post-early-exit weights) at the
-        given live_cap."""
+        given live_cap. `contiguous` places each ray's live samples in one
+        run (the renderer's first-hit..early-exit pattern — the case the
+        span-window tier 1 compacts); scattered positions exercise the
+        overflow tiers."""
         from preworld_tpu.ops.field_sample import (
             build_parity_tables,
             sample_tables_fused,
@@ -288,7 +291,11 @@ class TestFieldSample:
         cot = np.zeros((R, S, 21), np.float32)
         for r in range(R):
             k = live_per_ray[r % len(live_per_ray)]
-            pos = rng.choice(S, size=k, replace=False)
+            if contiguous:
+                start = rng.integers(0, S - k + 1) if k else 0
+                pos = np.arange(start, start + k)
+            else:
+                pos = rng.choice(S, size=k, replace=False)
             cot[r, pos] = rng.normal(size=(k, 21))
         cot = jnp.asarray(cot)
         t_e, t_o = build_parity_tables(field)
@@ -301,7 +308,17 @@ class TestFieldSample:
         )(field)
 
     def test_live_cap_compaction_exact(self):
-        """Backward live-sample compaction (cap sufficient) == full scatter."""
+        """Backward live-sample compaction (cap sufficient) == full scatter
+        — contiguous live runs so every ray rides the tier-1 span window."""
+        full = self._live_cap_grads([3, 7, 0, 12], 0, contiguous=True)
+        compact = self._live_cap_grads([3, 7, 0, 12], 16, contiguous=True)
+        np.testing.assert_allclose(
+            np.asarray(compact), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+
+    def test_live_cap_scattered_positions_exact(self):
+        """Random (non-contiguous) live positions: rays whose SPAN exceeds
+        the cap ride tier 2 / the fallback — exact either way."""
         full = self._live_cap_grads([3, 7, 0, 12], 0)
         compact = self._live_cap_grads([3, 7, 0, 12], 16)
         np.testing.assert_allclose(
@@ -824,11 +841,14 @@ class TestFusedWindowAttention:
     def test_grad_masked_shifted(self):
         self._grad_case(True)
 
-    def test_swinblock_train_grads_match_xla(self, monkeypatch):
+    @pytest.mark.parametrize("band", [False, True])
+    def test_swinblock_train_grads_match_xla(self, monkeypatch, band):
         """Full SwinBlock (shifted, train=True) with BOTH fused custom VJPs
         (attention + MLP) == the XLA path, values AND param grads (incl.
         the relative-position bias table through dbias). C=128 so the
-        fused-MLP lane gate passes."""
+        fused-MLP lane gate passes. band=True routes through the image-
+        layout band kernel (H=8, W=12, ws=4 -> nH=2, nW=3: covers the odd
+        trailing window AND the shifted mask indexing per band row)."""
         import preworld_tpu.ops.swin_mlp_pallas as smp
         import preworld_tpu.ops.window_attn_pallas as wap
         from preworld_tpu.models.swin import SwinBlock
@@ -838,6 +858,13 @@ class TestFusedWindowAttention:
             wap, "fused_window_attention_vjp",
             lambda qkv, bias, mask, h, g=8, interp=False: orig(
                 qkv, bias, mask, h, g, True
+            ),
+        )
+        orig_band = wap.band_window_attention_vjp
+        monkeypatch.setattr(
+            wap, "band_window_attention_vjp",
+            lambda qkv, bias, mask, h, ws, interp=False: orig_band(
+                qkv, bias, mask, h, ws, True
             ),
         )
         orig_mlp = smp.fused_swin_mlp_vjp
@@ -855,7 +882,8 @@ class TestFusedWindowAttention:
 
         def run(fused):
             blk = SwinBlock(C, heads, ws, shift=True, use_fused_attn=fused,
-                            use_fused_mlp=fused)
+                            use_fused_mlp=fused,
+                            use_band_attn=band if fused else False)
             params = blk.init(jax.random.PRNGKey(0), x, (H, W), train=True)
 
             def loss(p):
@@ -901,6 +929,89 @@ class TestPlaneSweepKernel:
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(ref), atol=1e-4
         )
+
+    def test_gen_stereo_grid_matches_einsum_chain(self):
+        """The fused scalar-coefficient gen_stereo_grid (r4: one elementwise
+        pass, no big einsums) == the straightforward einsum-chain
+        transcription of the reference `gen_grid`
+        (`view_transformer.py:546-574`), including post-aug rotation /
+        translation and the behind-camera mask."""
+        from preworld_tpu.data.synthetic import camera_rig
+        from preworld_tpu.models.depthnet import gen_stereo_grid
+        from preworld_tpu.geometry.frustum import GridConfig, create_frustum
+
+        rng = np.random.default_rng(21)
+        input_size = (64, 128)
+        N, cv_down = 2, 4
+        grid_cfg = GridConfig(
+            x=(-8.0, 8.0, 0.8), y=(-8.0, 8.0, 0.8), z=(-1.0, 5.4, 0.8),
+            depth=(1.0, 9.0, 0.5),
+        )
+        frustum = jnp.asarray(create_frustum(grid_cfg, input_size, cv_down))
+        rig = camera_rig(N, input_size, rng)
+        yaw = np.deg2rad(5.0)
+        adj = np.eye(4, dtype=np.float32)
+        adj[:2, :2] = [[np.cos(yaw), -np.sin(yaw)],
+                       [np.sin(yaw), np.cos(yaw)]]
+        adj[0, 3] = 0.9
+        s2e = rig["sensor2ego"]
+        k2s_np = np.stack(
+            [np.linalg.inv(s2e[n]) @ np.linalg.inv(adj) @ s2e[n]
+             for n in range(N)]
+        ).astype(np.float32)
+        # camera 1: flip the z row so part of the frustum lands BEHIND the
+        # previous camera — exercises the -2 sentinel branch
+        k2s_np[1, 2, :] *= -1.0
+        k2s = jnp.asarray(k2s_np)[None]
+        intrins = jnp.asarray(rig["intrin"])[None]
+        # non-trivial post-aug: rotation + flip-ish scale + translation
+        th = 0.05
+        pr = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0],
+                       [0, 0, 1]], np.float32) * np.array(
+            [[0.9], [1.1], [1.0]], np.float32)
+        post_rots = jnp.asarray(np.broadcast_to(pr, (1, N, 3, 3)).copy())
+        post_trans = jnp.asarray(
+            rng.normal(0, 3.0, size=(1, N, 3)).astype(np.float32)
+        )
+
+        got = gen_stereo_grid(
+            frustum, k2s, intrins, post_rots, post_trans, input_size
+        )
+
+        # straightforward chain (the reference transcription, pre-r4 form)
+        hi, wi = input_size
+        pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+        inv_post = jnp.linalg.inv(post_rots)
+        pts = jnp.einsum("bnij,bndhwj->bndhwi", inv_post, pts)
+        pts = jnp.concatenate(
+            [pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], -1
+        )
+        rots = k2s[:, :, :3, :3]
+        trans = k2s[:, :, :3, 3]
+        combine = rots @ jnp.linalg.inv(intrins)
+        pts = jnp.einsum("bnij,bndhwj->bndhwi", combine, pts)
+        pts = pts + trans[:, :, None, None, None, :]
+        neg_mask = pts[..., 2] < 1e-3
+        pts = jnp.einsum("bnij,bndhwj->bndhwi", intrins, pts)
+        pts = pts[..., :2] / pts[..., 2:3]
+        pts = jnp.einsum(
+            "bnij,bndhwj->bndhwi", post_rots[:, :, :2, :2], pts
+        )
+        pts = pts + post_trans[:, :, None, None, None, :2]
+        px = pts[..., 0] / (wi - 1.0) * 2.0 - 1.0
+        py = pts[..., 1] / (hi - 1.0) * 2.0 - 1.0
+        px = jnp.where(neg_mask, -2.0, px)
+        py = jnp.where(neg_mask, -2.0, py)
+        D = frustum.shape[0]
+        want = jnp.stack([px, py], -1).reshape(
+            N, D * (hi // cv_down), wi // cv_down, 2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+        # the behind-camera sentinel actually fired somewhere
+        assert (np.asarray(got) == -2.0).any()
 
     def test_matches_xla_on_realistic_geometry(self):
         """Full gen_stereo_grid geometry (ego motion + yaw) at reduced scale.

@@ -54,13 +54,26 @@ def timeit(fn, *args, n=3, readback=lambda o: o):
     return min(times)
 
 
-def make_inputs(density_shift=0.0, seed=0):
+def make_inputs(density_shift=0.0, seed=0, scene=None):
+    """scene=None: random density + shift (the r3 fixtures — NOTE a uniform
+    density_shift=14 'opaque regime' keeps alpha ~1 at EVERY sample, so the
+    transmittance chain makes the density cotangent dense along whole rays;
+    no real scene looks like that). scene='wall': mostly-empty space
+    (alpha << fast_color_thres) with opaque walls + ground — the realistic
+    trained regime where live cotangents are sparse, contiguous spans."""
     rng = np.random.default_rng(seed)
     B, R = 1, 38400
     X, Y, Z = 200, 200, 16
-    density = jnp.asarray(
-        rng.normal(size=(B, X, Y, Z)).astype(np.float32) + density_shift
-    )
+    if scene == "wall":
+        d = np.full((B, X, Y, Z), -30.0, np.float32)
+        d[:, :, :, :2] = 14.0  # ground plane
+        d[:, 118:123, :, :] = 14.0  # wall slab
+        d[:, :, 60:64, :] = 14.0  # cross wall
+        density = jnp.asarray(d + rng.normal(size=d.shape).astype(np.float32))
+    else:
+        density = jnp.asarray(
+            rng.normal(size=(B, X, Y, Z)).astype(np.float32) + density_shift
+        )
     semantic = jnp.asarray(rng.normal(size=(B, X, Y, Z, 17)).astype(np.float32))
     color = jnp.asarray(rng.normal(size=(B, X, Y, Z, 3)).astype(np.float32))
     rays = np.zeros((B, R, 16), np.float32)
