@@ -81,11 +81,15 @@ def _cv_kernel(
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (SW, TW), 0).astype(
         jnp.float32
     )
+    iota_ny = jax.lax.broadcasted_iota(jnp.int32, (NY, 1, 1), 0).astype(
+        jnp.float32
+    )
     # depth-invariant per-row values, hoisted out of the depth loop
     curr_rows = [curr_ref[0, r].astype(jnp.float32) for r in range(TH)]
     l1_rows = [
         jnp.sum(jnp.abs(c), axis=0, keepdims=True) for c in curr_rows
     ]
+    l1_tile = jnp.concatenate(l1_rows, axis=0)  # (TH, TW)
 
     def one_depth(d, _):
         info = info_ref[base + d]
@@ -104,18 +108,23 @@ def _cv_kernel(
             cp.start()
             cp.wait()
 
-        for r in range(TH):
-            bit = (rowmask >> r) & 1
+        # Per-ROW predication measured ~0.35 us/row of pure control overhead
+        # (405k pl.when bodies/pair = half the kernel's runtime; the noMM
+        # bisection in docs/ROUND4_STATUS.md). The bit==0 fallback branch is
+        # semantically REDUNDANT: for a row with no valid samples every
+        # tent weight vanishes (gx<=-1 / gx>=W give oxT=0 under the xs=0
+        # dead-row start since W > SW; gy OOB gives wy=0; pad columns carry
+        # the 1e9 sentinel), so the unified path yields acc=0 -> invalid
+        # probe -> l1+bias, exactly the reference fallback. Keep only the
+        # all-rows-dead skip per depth plane (4-21% of planes on real
+        # geometry), and run live planes straight-line.
+        @pl.when(rowmask == 0)
+        def _():
+            out_ref[0, d] = l1_tile + bias
 
-            @pl.when(bit == 0)
-            def _(r=r):
-                # plane warps fully outside the previous image for this
-                # row: warp == zeros -> cost = sum_c|curr| + bias (exact
-                # reference fallback)
-                out_ref[0, d, r : r + 1, :] = l1_rows[r] + bias
-
-            @pl.when(bit == 1)
-            def _(r=r):
+        @pl.when(rowmask != 0)
+        def _():
+            for r in range(TH):
                 curr_r = curr_rows[r]  # (C, TW) f32
                 xc = xc_ref[0, d, r : r + 1, :]  # (1, TW) f32
                 yc = yc_ref[0, d, r : r + 1, :]
@@ -139,16 +148,19 @@ def _cv_kernel(
                 # one-hot columns and stack the NY rows along K. Rounding
                 # the PRODUCT wx*wy to win.dtype is one rounding, the same
                 # error class as the old path's bf16 wx times f32 wy.
-                rows = []
-                weights = []
-                for yy in range(NY):
-                    ridx = y0r + yy
-                    rows.append(win[ridx, pl.ds(xs_row, SW), :])  # (SW, C)
-                    row_abs = (y0 + ridx).astype(jnp.float32)
-                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - row_abs))
-                    weights.append(oxT * wy)
-                A = jnp.concatenate(rows, axis=0)  # (NY*SW, C)
-                O = jnp.concatenate(weights, axis=0).astype(win.dtype)
+                # The NY window rows are CONTIGUOUS (y0r..y0r+NY-1), so the
+                # operand build is one 3-D slice + a layout-free collapse
+                # (SW % 8 sublanes) and one broadcast multiply — the r3
+                # per-row slice+concat loop copied the same bytes twice and
+                # issued 2*NY VMEM copy ops per matmul.
+                A = win[pl.ds(y0r, NY), pl.ds(xs_row, SW), :].reshape(
+                    NY * SW, win.shape[-1]
+                )
+                rows_abs = (y0 + y0r).astype(jnp.float32) + iota_ny
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(yc[None] - rows_abs)
+                )  # (NY, 1, TW)
+                O = (oxT[None] * wy).astype(win.dtype).reshape(NY * SW, TW)
                 acc = jax.lax.dot_general(
                     A, O,
                     dimension_numbers=(((0,), (0,)), ((), ())),
