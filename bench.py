@@ -61,6 +61,42 @@ def _cost(compiled):
         return 0.0, 0.0
 
 
+def _train_step_seconds(cfg_path, num_rays=38400, n=3):
+    """Flagship train-step seconds (B=1): compile, then min over n timed
+    steps with varied inputs and a loss-scalar readback each iteration."""
+    import numpy as np
+
+    from preworld_tpu.data import synthetic_batch
+    from preworld_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    from preworld_tpu.train.builder import build_model
+    from preworld_tpu.utils import Config
+
+    model = build_model(Config.fromfile(cfg_path))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(model.cfg, 1, num_rays=num_rays).items()
+    }
+    tx = make_optimizer()
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tx))
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, batch, key)  # compile
+    _ = float(m["loss_total"])
+    times = []
+    import numpy as _np
+
+    for i in range(n):
+        b = dict(batch)
+        b["imgs"] = batch["imgs"] + _np.float32(1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        state, m = step(state, b, key)
+        _ = float(m["loss_total"])
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
 def main():
     import argparse
 
@@ -213,6 +249,26 @@ def main():
         streaming_fps = round(1.0 / min(stimes), 3)
     except Exception:
         pass
+
+    # train-step timing as a recorded artifact (VERDICT r4 weak #5/next #6):
+    # flagship pretrain + finetune step seconds with the same vary-inputs +
+    # scalar-readback discipline. Guarded: the headline inference metric
+    # must survive a train-bench failure; PREWORLD_BENCH_TRAIN=0 skips.
+    pretrain_step_s = finetune_step_s = None
+    if os.environ.get("PREWORLD_BENCH_TRAIN", "1") != "0":
+        del variables  # free the inference params before the train states
+        try:
+            pretrain_step_s = _train_step_seconds(
+                "configs/preworld/preworld_7frame_pretrain.py"
+            )
+        except Exception:
+            pass
+        try:
+            finetune_step_s = _train_step_seconds(
+                "configs/preworld/preworld_7frame_finetune.py"
+            )
+        except Exception:
+            pass
 
     print(
         json.dumps(

@@ -174,6 +174,14 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, hw, train: bool = False):
         H, W = hw
+        if x.ndim == 4:
+            # stage-persistent padded layout (B, Hp, Wp, C): one fused
+            # kernel computes LN1 -> zero-pad -> qkv -> window attention ->
+            # proj -> +residual (ops/swin_block_pallas.py); pad/slice
+            # happen once per STAGE in SwinTransformer, not per block.
+            return self._mlp_subblock(
+                self._fused_attn_padded(x, hw, train), train
+            )
         B, L, C = x.shape
         ws = min(self.window_size, H, W)
         shift = ws // 2 if (self.shift and ws < min(H, W)) else 0
@@ -221,7 +229,55 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :H, :W].reshape(B, L, C)
         x = shortcut + _drop_path(y, self.drop_path, train, self, "dp1")
+        return self._mlp_subblock(x, train)
 
+    def _fused_attn_padded(self, x, hw, train):
+        """Attention half-block on the padded (B, Hp, Wp, C) layout, one
+        Pallas kernel (LN1 + zero-pad + qkv + window MSA + proj +
+        residual); the shift rides two cheap XLA rolls. Param tree is
+        checkpoint-identical to the legacy path (dummy calls)."""
+        from ..ops.swin_block_pallas import fused_swin_attn_block_vjp
+
+        H, W = hw
+        B, Hp, Wp, C = x.shape
+        ws = min(self.window_size, H, W)
+        shift = ws // 2 if (self.shift and ws < min(H, W)) else 0
+        N = ws * ws
+        h = self.num_heads
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        _ = norm1(jnp.zeros((1, 1, C), self.dtype))
+        msa = WindowMSA(self.dim, h, ws, dtype=self.dtype, name="attn")
+        _ = msa(jnp.zeros((1, N, C), self.dtype))
+        pn = norm1.variables["params"]
+        pm = msa.variables["params"]
+        table = pm["relative_position_bias_table"]
+        idx = relative_position_index(ws)
+        bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        if shift > 0:
+            xk = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = shifted_window_mask(Hp, Wp, ws, shift)
+        else:
+            xk, mask = x, None
+        row_scale = None
+        if train and self.drop_path > 0.0:
+            keep = 1.0 - self.drop_path
+            m = jax.random.bernoulli(self.make_rng("dropout"), keep, (B,))
+            row_scale = m.astype(jnp.float32) / keep
+        y = fused_swin_attn_block_vjp(
+            xk, pn["scale"], pn["bias"],
+            pm["qkv"]["kernel"].astype(self.dtype),
+            pm["qkv"]["bias"],
+            pm["proj"]["kernel"].astype(self.dtype),
+            pm["proj"]["bias"],
+            bias, mask, row_scale, h, ws, H, W, shift, False,
+        )
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y
+
+    def _mlp_subblock(self, x, train):
+        """LN2 + MLP + residual; x is (B, L, C) or padded (B, Hp, Wp, C)."""
+        C = x.shape[-1]
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         fc1 = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")
         fc2 = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")
@@ -253,8 +309,10 @@ class SwinBlock(nn.Module):
                     self.make_rng("dropout"), keep, (x.shape[0],)
                 )
                 row_scale = jnp.broadcast_to(
-                    (m.astype(jnp.float32) / keep)[:, None],
-                    (x.shape[0], x.shape[1]),
+                    (m.astype(jnp.float32) / keep).reshape(
+                        (-1,) + (1,) * (x.ndim - 2)
+                    ),
+                    x.shape[:-1],
                 ).reshape(-1)
             # custom_vjp is positional-only: (..., row_scale, block_rows,
             # hidden_chunk, interpret)
@@ -321,6 +379,8 @@ class SwinTransformer(nn.Module):
     use_fused_attn: Any = None  # None = auto (TPU inference); bool forces
     use_fused_mlp: Any = None  # None = auto (TPU inference); bool forces
     use_band_attn: Any = None  # None = auto (see SwinBlock)
+    use_block_attn: Any = None  # None = auto: fully-fused attention
+    # half-block on a stage-persistent padded layout (swin_block_pallas)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -352,21 +412,59 @@ class SwinTransformer(nn.Module):
         dim = self.embed_dims
         blk_id = 0
         for i, depth in enumerate(self.depths):
-            for j in range(depth):
-                x = SwinBlock(
-                    dim,
-                    self.num_heads[i],
-                    self.window_size,
-                    shift=(j % 2 == 1),
-                    mlp_ratio=self.mlp_ratio,
-                    drop_path=float(dpr[blk_id]),
-                    use_fused_attn=self.use_fused_attn,
-                    use_fused_mlp=self.use_fused_mlp,
-                    use_band_attn=self.use_band_attn,
-                    dtype=self.dtype,
-                    name=f"stage{i}_block{j}",
-                )(x, hw, train)
-                blk_id += 1
+            # stage-persistent padded layout: when the fully-fused block
+            # kernel applies (TPU, lane-aligned C, 16-aligned window area),
+            # pad ONCE per stage and run every block on (B, Hp, Wp, C) —
+            # per-block pad/slice/partition relayouts disappear into the
+            # kernel's band DMA (see ops/swin_block_pallas.py)
+            Hs, Ws = hw
+            ws_i = min(self.window_size, Hs, Ws)
+            blk = self.use_block_attn
+            if blk is None:
+                blk = self.use_fused_attn
+                if blk is None:
+                    blk = jax.default_backend() == "tpu"
+            blk = blk and dim % 128 == 0 and (ws_i * ws_i) % 16 == 0
+            if blk:
+                pad_b = (ws_i - Hs % ws_i) % ws_i
+                pad_r = (ws_i - Ws % ws_i) % ws_i
+                xs = x.reshape(B, Hs, Ws, dim)
+                if pad_b or pad_r:
+                    xs = jnp.pad(
+                        xs, ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
+                    )
+                for j in range(depth):
+                    xs = SwinBlock(
+                        dim,
+                        self.num_heads[i],
+                        self.window_size,
+                        shift=(j % 2 == 1),
+                        mlp_ratio=self.mlp_ratio,
+                        drop_path=float(dpr[blk_id]),
+                        use_fused_attn=self.use_fused_attn,
+                        use_fused_mlp=self.use_fused_mlp,
+                        use_band_attn=self.use_band_attn,
+                        dtype=self.dtype,
+                        name=f"stage{i}_block{j}",
+                    )(xs, hw, train)
+                    blk_id += 1
+                x = xs[:, :Hs, :Ws].reshape(B, Hs * Ws, dim)
+            else:
+                for j in range(depth):
+                    x = SwinBlock(
+                        dim,
+                        self.num_heads[i],
+                        self.window_size,
+                        shift=(j % 2 == 1),
+                        mlp_ratio=self.mlp_ratio,
+                        drop_path=float(dpr[blk_id]),
+                        use_fused_attn=self.use_fused_attn,
+                        use_fused_mlp=self.use_fused_mlp,
+                        use_band_attn=self.use_band_attn,
+                        dtype=self.dtype,
+                        name=f"stage{i}_block{j}",
+                    )(x, hw, train)
+                    blk_id += 1
             out = x  # pre-downsample stage output (mmcv convention)
             out_hw = hw
             if i < len(self.depths) - 1:

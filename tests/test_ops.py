@@ -1259,3 +1259,88 @@ class TestPlaneSweepSupportedGate:
         ours, ref = np.asarray(ours), np.asarray(ref)
         mism = np.abs(ours - ref) > 1e-4
         assert mism.mean() < 2e-3, mism.mean()
+
+
+class TestFusedSwinAttnBlock:
+    """The fully-fused attention half-block on the stage-persistent padded
+    layout (ops/swin_block_pallas.py, interpret mode) == the legacy XLA
+    SwinBlock path: values AND grads (params + input), through pad
+    (H, W not multiples of ws), shift, the odd trailing window and the
+    fused-MLP tail."""
+
+    def _patch_interpret(self, monkeypatch):
+        import preworld_tpu.ops.swin_block_pallas as sbp
+
+        orig = sbp.fused_swin_attn_block_vjp
+        monkeypatch.setattr(
+            sbp, "fused_swin_attn_block_vjp",
+            lambda x, ls, lb, wq, bq, wp, bp, bias, mask, rs, h, ws, H, W,
+            shift, interp=False: orig(
+                x, ls, lb, wq, bq, wp, bp, bias, mask, rs, h, ws, H, W,
+                shift, True
+            ),
+        )
+
+    @pytest.mark.parametrize("shifted", [False, True])
+    def test_matches_legacy_block(self, monkeypatch, shifted):
+        from preworld_tpu.models.swin import SwinBlock
+
+        self._patch_interpret(monkeypatch)
+        rng = np.random.default_rng(3)
+        B, H, W, C, heads, ws = 2, 7, 10, 128, 4, 4
+        pad_b, pad_r = (ws - H % ws) % ws, (ws - W % ws) % ws
+        Hp, Wp = H + pad_b, W + pad_r
+        x = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(B, H * W, C)).astype(np.float32))
+
+        blk = SwinBlock(C, heads, ws, shift=shifted, use_fused_attn=False,
+                        use_fused_mlp=False)
+        params = blk.init(jax.random.PRNGKey(0), x, (H, W), train=True)
+
+        def loss_legacy(p, x_):
+            return (blk.apply(p, x_, (H, W), train=True) * ct).sum()
+
+        def loss_fused(p, x_):
+            # pad with GARBAGE (not zeros): the kernel's in-bounds masking
+            # must make pad content irrelevant
+            x4 = x_.reshape(B, H, W, C)
+            x4 = jnp.pad(x4, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
+                         constant_values=37.0)
+            out = blk.apply(p, x4, (H, W), train=True)
+            return (out[:, :H, :W].reshape(B, H * W, C) * ct).sum()
+
+        lx, gx = jax.value_and_grad(loss_legacy, argnums=(0, 1))(params, x)
+        lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(float(lf[0] if isinstance(lf, tuple) else lf),
+                                   float(lx[0] if isinstance(lx, tuple) else lx),
+                                   rtol=2e-5)
+        chex.assert_trees_all_close(gf, gx, rtol=5e-5, atol=5e-5)
+
+    def test_transformer_stage_routing(self, monkeypatch):
+        """SwinTransformer with use_block_attn=True (interpret) == the
+        plain XLA transformer (use_fused_* False), incl. PatchMerging
+        handoff between padded stages and the stage-0 stereo output."""
+        from preworld_tpu.models.swin import SwinTransformer
+
+        self._patch_interpret(monkeypatch)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+
+        def run(block):
+            m = SwinTransformer(
+                embed_dims=128, depths=(2, 2), num_heads=(4, 8),
+                window_size=4, out_indices=(0, 1), drop_path_rate=0.0,
+                use_fused_attn=False, use_fused_mlp=False,
+                use_block_attn=block,
+            )
+            p = m.init(jax.random.PRNGKey(1), x, False, False)
+            return m.apply(p, x, False, False), p
+
+        outs_f, pf = run(True)
+        outs_x, px = run(False)
+        chex.assert_trees_all_close(pf, px, rtol=0, atol=0)
+        assert len(outs_f) == len(outs_x)
+        for a, b in zip(outs_f, outs_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            )
