@@ -135,6 +135,91 @@ def gen_stereo_grid(
     return grid.reshape(B * N, D * H, W, 2)
 
 
+def gen_stereo_homography(
+    frustum: jnp.ndarray,
+    k2s_sensor: jnp.ndarray,
+    intrins: jnp.ndarray,
+    post_rots: jnp.ndarray,
+    post_trans: jnp.ndarray,
+    img_size_hw,
+) -> jnp.ndarray:
+    """Per-depth-plane 3x3 homographies equivalent to `gen_stereo_grid`.
+
+    For a FIXED depth plane the warp chain of `gen_stereo_grid` is
+    projective in the output pixel index: every stage is affine in (u, v)
+    once the homogeneous lift's z-coordinate qz is constant per plane —
+    true whenever the image post-aug is 2-D (post_rots third row (0,0,1),
+    the form every shipped pipeline produces; `loading.py:934-953` builds
+    post_rot from 2-D resize/crop/flip/rotate only). The whole
+    (BN, D, H, W, 2) grid tensor (~104 MB at flagship scale, plus the
+    packing's full-array reductions over it) then collapses to
+    (BN, D, 3, 3) = 19 KB of coefficients that the fused plane-sweep kernel
+    evaluates in-register (ops/cost_volume_pallas.py::plane_sweep_cost_hom).
+
+    Returns H (B*N, D, 3, 3) f32 mapping OUTPUT feature-pixel indices
+    (w, h, 1) homogeneously to PREVIOUS-frame feature-pixel coords:
+    gx = (H0 . (w,h,1)) / z, gy = (H1 . (w,h,1)) / z with z = H2 . (w,h,1);
+    z < 1e-3 marks behind-camera samples (the grid path's -2 sentinel).
+    """
+    B, N = k2s_sensor.shape[:2]
+    D, Hf, Wf = frustum.shape[:3]
+    hi, wi = img_size_hw
+    rots = k2s_sensor[:, :, :3, :3]
+    trans = k2s_sensor[:, :, :3, 3]
+    inv_post = jnp.linalg.inv(post_rots)
+    tp = jnp.einsum("bnij,bnj->bni", inv_post, post_trans)
+    L = jnp.concatenate([inv_post, -tp[..., None]], axis=-1)
+    M = intrins @ rots @ jnp.linalg.inv(intrins)
+    t1 = jnp.einsum("bnij,bnj->bni", intrins, trans)
+    S = jnp.einsum("bnik,bnkj->bnij", M[:, :, :, :2], L[:, :, :2, :])
+    S = S.at[:, :, :, 3].add(M[:, :, :, 2])
+
+    dd = frustum[:, 0, 0, 2].astype(jnp.float32)  # (D,) plane depths
+    # qz = L[2] . (u, v, d, 1) with L[2,:2] = 0 (2-D post-aug) -> per-plane
+    # constant
+    qzc = L[:, :, 2, 2][..., None] * dd + L[:, :, 2, 3][..., None]  # (B,N,D)
+
+    def hrow(i):
+        a = qzc * S[:, :, i, 0][..., None]
+        b = qzc * S[:, :, i, 1][..., None]
+        c = (
+            qzc * (S[:, :, i, 2][..., None] * dd + S[:, :, i, 3][..., None])
+            + t1[:, :, i][..., None]
+        )
+        return jnp.stack([a, b, c], axis=-1)  # (B, N, D, 3) in (u, v, 1)
+
+    Hx, Hy, Hz = hrow(0), hrow(1), hrow(2)
+    # previous-frame post-aug + [-1,1] normalization + feature-pixel scale,
+    # exactly gen_stereo_grid's tail followed by the kernel's
+    # (grid+1)*0.5*(Wf-1) conversion: ax = (Wf-1)/(wi-1)
+    ax = (Wf - 1.0) / (wi - 1.0)
+    ay = (Hf - 1.0) / (hi - 1.0)
+
+    def pc(i, j):
+        return post_rots[:, :, i, j][..., None, None]
+
+    ptx = post_trans[:, :, 0][..., None, None]
+    pty = post_trans[:, :, 1][..., None, None]
+    Gx = ax * (pc(0, 0) * Hx + pc(0, 1) * Hy + ptx * Hz)
+    Gy = ay * (pc(1, 0) * Hx + pc(1, 1) * Hy + pty * Hz)
+    G = jnp.stack([Gx, Gy, Hz], axis=-2)  # (B, N, D, 3, 3) over (u, v, 1)
+    # fold the frustum's pixel-index -> input-pixel affine (u = u0 + su*w,
+    # v = v0 + sv*h) so the homography acts on raw output indices
+    u0 = frustum[0, 0, 0, 0]
+    su = (frustum[0, 0, 1, 0] - u0) if Wf > 1 else jnp.float32(1.0)
+    v0 = frustum[0, 0, 0, 1]
+    sv = (frustum[0, 1, 0, 1] - v0) if Hf > 1 else jnp.float32(1.0)
+    zero = jnp.zeros_like(u0)
+    one = jnp.ones_like(u0)
+    T = jnp.stack([
+        jnp.stack([su, zero, u0]),
+        jnp.stack([zero, sv, v0]),
+        jnp.stack([zero, zero, one]),
+    ])
+    H = G @ T
+    return H.reshape(B * N, D, 3, 3).astype(jnp.float32)
+
+
 def stereo_cost_volume(
     prev_feat: jnp.ndarray,
     curr_feat: jnp.ndarray,

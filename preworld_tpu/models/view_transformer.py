@@ -26,6 +26,7 @@ from ..ops.bev_pool_pallas import bev_pool_fused
 from .depthnet import (
     DepthNet,
     gen_stereo_grid,
+    gen_stereo_homography,
     stereo_cost_volume,
     stereo_cost_volume_expanded,
     stereo_cost_volume_fused,
@@ -42,14 +43,6 @@ def compute_stereo_cost_volume(
     compute it OUTSIDE remat boundaries and pass it via
     `stereo["cost_volume"]`.
     """
-    grid_w = gen_stereo_grid(
-        cv_frustum,
-        stereo["k2s_sensor"],
-        cams["intrin"],
-        cams["post_rot"],
-        cams["post_tran"],
-        input_size,
-    )
     from ..ops.cost_volume_pallas import plane_sweep_supported
 
     if use_fused is None:
@@ -59,9 +52,37 @@ def compute_stereo_cost_volume(
         )
     if use_table is None:
         use_table = jax.default_backend() == "tpu"
+    if use_fused:
+        # fused kernel path: no (BN, D*H, W, 2) grid tensor at all — the
+        # per-plane warp collapses to (BN, D, 3, 3) homographies evaluated
+        # in-register (gen_stereo_homography docstring; this XLA-side
+        # coordinate chain, not the kernel, dominated the stage's bytes)
+        import flax.linen as nn
+
+        from ..ops.cost_volume_pallas import plane_sweep_cost_hom
+
+        hom = gen_stereo_homography(
+            cv_frustum,
+            stereo["k2s_sensor"],
+            cams["intrin"],
+            cams["post_rot"],
+            cams["post_tran"],
+            input_size,
+        )
+        cost = plane_sweep_cost_hom(
+            stereo["prev_feat"], stereo["curr_feat"], hom, bias=float(bias)
+        )
+        return nn.softmax(-cost, axis=1).astype(stereo["curr_feat"].dtype)
+    grid_w = gen_stereo_grid(
+        cv_frustum,
+        stereo["k2s_sensor"],
+        cams["intrin"],
+        cams["post_rot"],
+        cams["post_tran"],
+        input_size,
+    )
     cv_fn = (
-        stereo_cost_volume_fused if use_fused
-        else stereo_cost_volume_expanded if use_table
+        stereo_cost_volume_expanded if use_table
         else stereo_cost_volume
     )
     return cv_fn(

@@ -208,11 +208,21 @@ def _pack_info(gx, gy, valid, D, n_th, n_tw, W, H, Wp, SW, WH):
 
     rxmin = jnp.floor(xv.min(axis=5))              # (BN, D, n_th, TH, n_tw)
     rymin = jnp.floor(yv.min(axis=5))
-    xmin = rxmin.min(axis=3)                       # (BN, D, n_th, n_tw)
-    ymin = rymin.min(axis=3)
     ymax = jnp.floor(yvmax.max(axis=(3, 5)))
-    valid_d = vt.any(axis=(3, 5))
     row_any = vt.any(axis=5)                        # (BN, D, n_th, TH, n_tw)
+    return _pack_tail(rxmin, rymin, ymax, row_any, D, n_th, n_tw, H, Wp,
+                      SW, WH)
+
+
+def _pack_tail(rxmin, rymin, ymax, row_any, D, n_th, n_tw, H, Wp, SW, WH):
+    """Shared packing tail from per-row warp statistics.
+
+    rxmin/rymin: (BN, D, n_th, TH, n_tw) floored per-row mins over valid
+    samples (big where the row has none); ymax: (BN, D, n_th, n_tw) floored
+    tile max (-big); row_any: per-row any-valid."""
+    BN = row_any.shape[0]
+    ymin = rymin.min(axis=3)
+    valid_d = row_any.any(axis=3)
     bits = (2 ** np.arange(TH)).astype(np.int32)
     rowmask = (row_any.astype(jnp.int32)
                * bits[None, None, None, :, None]).sum(axis=3)
@@ -395,4 +405,252 @@ def plane_sweep_cost(
         ),
         interpret=interpret,
     )(info, xs16, y0d, prev_p, gx, gy, curr_t)
+    return out[..., :W]
+
+
+# ---------------------------------------------------------------------------
+# Homography variant (r5): the warp of a fixed depth plane is a 3x3
+# homography in the output pixel index (models/depthnet.py::
+# gen_stereo_homography), so the kernel evaluates coordinates IN-REGISTER
+# from 9 scalars per (camera, depth) instead of streaming (BN, D, H, Wp)
+# gx/gy arrays from HBM — and the prefetch packing's full-array reductions
+# collapse to row-endpoint algebra on (BN, D, H, n_tw, 2) scalars (gx/gy
+# are monotonic along a row wherever z > 0, so valid-sample mins/maxes are
+# clipped endpoint evaluations). This removed ~8 GB/pair of XLA-side
+# coordinate-chain traffic that dominated the in-model cost-volume stage.
+# ---------------------------------------------------------------------------
+
+
+def _pack_info_hom(hom, D, n_th, n_tw, W, H, Wp, SW, WH):
+    """Prefetch words from homographies (see _pack_info for the layout).
+
+    Per (bn, d, row, tile): the z-valid c-interval comes from the affine
+    denominator's root; gx/gy evaluated at its (clipped) endpoints bound
+    the valid-sample mins exactly in the interior and conservatively
+    (never tighter than truth) at image-edge crossings — a too-early
+    window start or too-wide y segment only adds covered rows, never
+    drops live ones; rows it marks live with no contributing sample fall
+    through the kernel's unified math to the exact zeros+bias fallback.
+    """
+    assert Wp - SW <= 15 * 16, (Wp, SW)
+    assert H - WH <= 127, (H, WH)
+    BN = hom.shape[0]
+    eps = 1e-3
+    big = jnp.float32(1e6)
+
+    # broadcast frame: (BN, D, H, n_tw); all arrays below live in it
+    def hc(i):  # homography coefficient i
+        return hom.reshape(BN, D, 9)[:, :, i][:, :, None, None]
+
+    v = jnp.arange(H, dtype=jnp.float32)[None, None, :, None]
+    # per-tile c endpoints (the real-width last pixel, excluding lane pad)
+    c0_np = (np.arange(n_tw) * TW).astype(np.float32)
+    c1_np = np.minimum(c0_np + TW, W) - 1.0
+    c0b = jnp.asarray(c0_np)[None, None, None, :]
+    c1b = jnp.asarray(c1_np)[None, None, None, :]
+
+    # z at endpoints; z-valid sub-interval via the affine root
+    zvc = hc(7) * v + hc(8)  # z(c) = h6*c + zvc
+    zl = hc(6) * c0b + zvc
+    zr = hc(6) * c1b + zvc
+    croot = (eps - zvc) / jnp.where(
+        jnp.abs(hc(6)) < 1e-20, 1e-20, hc(6)
+    )
+    cl = jnp.where(zl >= eps, c0b, jnp.maximum(c0b, croot))
+    ch = jnp.where(zr >= eps, c1b, jnp.minimum(c1b, croot))
+    empty = (zl < eps) & (zr < eps)
+
+    def gxy(c):
+        den = jnp.maximum(hc(6) * c + zvc, eps)  # endpoints are z-valid
+        inv = 1.0 / den
+        gx = (hc(0) * c + hc(1) * v + hc(2)) * inv
+        gy = (hc(3) * c + hc(4) * v + hc(5)) * inv
+        return gx, gy
+
+    gx_l, gy_l = gxy(cl)
+    gx_r, gy_r = gxy(ch)
+    gxl = jnp.minimum(gx_l, gx_r)
+    gxh = jnp.maximum(gx_l, gx_r)
+    gyl = jnp.minimum(gy_l, gy_r)
+    gyh = jnp.maximum(gy_l, gy_r)
+    row_any = (
+        (~empty) & (cl <= ch)
+        & (gxh > -1.0) & (gxl < W) & (gyh > -1.0) & (gyl < H)
+    )  # (BN, D, H, n_tw)
+    rxmin = jnp.where(row_any, jnp.floor(jnp.maximum(gxl, -1.0)), big)
+    rymin = jnp.where(row_any, jnp.floor(jnp.maximum(gyl, -1.0)), big)
+    rymax = jnp.where(row_any, jnp.floor(jnp.minimum(gyh, H)), -big)
+
+    tile = lambda a: a.reshape(BN, D, n_th, TH, n_tw)
+    ymax = tile(rymax).max(axis=3)
+    return _pack_tail(tile(rxmin), tile(rymin), ymax, tile(row_any),
+                      D, n_th, n_tw, H, Wp, SW, WH)
+
+
+def _cv_kernel_hom(
+    info_ref, xs16_ref, y0d_ref, hom_ref,
+    prev_hbm, curr_ref, out_ref, win, sem, *,
+    D, n_th, n_tw, W, H, Wp, SW, WH, bias,
+):
+    bn = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    base = ((bn * n_th + th) * n_tw + tw) * D
+
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (SW, TW), 0).astype(
+        jnp.float32
+    )
+    iota_ny = jax.lax.broadcasted_iota(jnp.int32, (NY, 1, 1), 0).astype(
+        jnp.float32
+    )
+    col = (tw * TW
+           + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1))  # (1, TW)
+    colf = col.astype(jnp.float32)
+    pad_bad = col >= W  # lane-pad columns (grid path: 1e9-padded coords)
+    curr_rows = [curr_ref[0, r].astype(jnp.float32) for r in range(TH)]
+    l1_rows = [
+        jnp.sum(jnp.abs(c), axis=0, keepdims=True) for c in curr_rows
+    ]
+    l1_tile = jnp.concatenate(l1_rows, axis=0)  # (TH, TW)
+
+    def one_depth(d, _):
+        info = info_ref[base + d]
+        xs16 = xs16_ref[base + d]
+        y0d = y0d_ref[base + d]
+        rowmask = info & 0xFF
+        new = (info >> 8) & 1
+        y0 = (info >> 9) & 0x7F
+        y0r_base = (info >> 16) & 0x3F
+        hb = (bn * D + d) * 9
+        h00 = hom_ref[hb + 0]
+        h01 = hom_ref[hb + 1]
+        h02 = hom_ref[hb + 2]
+        h10 = hom_ref[hb + 3]
+        h11 = hom_ref[hb + 4]
+        h12 = hom_ref[hb + 5]
+        h20 = hom_ref[hb + 6]
+        h21 = hom_ref[hb + 7]
+        h22 = hom_ref[hb + 8]
+
+        @pl.when(new == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                prev_hbm.at[bn, pl.ds(y0, WH)], win, sem
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(rowmask == 0)
+        def _():
+            out_ref[0, d] = l1_tile + bias
+
+        @pl.when(rowmask != 0)
+        def _():
+            for r in range(TH):
+                curr_r = curr_rows[r]  # (C, TW) f32
+                vr = jnp.float32(1.0) * (th * TH + r)
+                den = h20 * colf + (h21 * vr + h22)
+                bad = (den < 1e-3) | pad_bad
+                inv = 1.0 / jnp.where(bad, 1.0, den)
+                xc = jnp.where(bad, 1e9, (h00 * colf + h01 * vr + h02) * inv)
+                yc = jnp.where(bad, 1e9, (h10 * colf + h11 * vr + h12) * inv)
+                y0r = jnp.clip(
+                    y0r_base + ((y0d >> (4 * r)) & 0xF), 0, WH - NY
+                )
+                xs_row = ((xs16 >> (4 * r)) & 0xF) * 16
+                xs_row = pl.multiple_of(xs_row, 16)
+                xrel = xc - xs_row.astype(jnp.float32)  # (1, TW)
+                oxT = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - xrel))
+                A = win[pl.ds(y0r, NY), pl.ds(xs_row, SW), :].reshape(
+                    NY * SW, win.shape[-1]
+                )
+                rows_abs = (y0 + y0r).astype(jnp.float32) + iota_ny
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(yc[None] - rows_abs)
+                )  # (NY, 1, TW)
+                O = (oxT[None] * wy).astype(win.dtype).reshape(NY * SW, TW)
+                acc = jax.lax.dot_general(
+                    A, O,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, TW)
+                ci = max(acc.shape[0] - 4, 0)
+                invalid = (acc[ci : ci + 1, :] == 0.0).astype(jnp.float32)
+                cost = jnp.sum(
+                    jnp.abs(curr_r - acc), axis=0, keepdims=True
+                )
+                out_ref[0, d, r : r + 1, :] = cost + invalid * bias
+
+        return 0
+
+    jax.lax.fori_loop(0, D, one_depth, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "interpret"))
+def plane_sweep_cost_hom(
+    prev_feat: jnp.ndarray,
+    curr_feat: jnp.ndarray,
+    hom: jnp.ndarray,
+    bias: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`plane_sweep_cost` with coordinates from per-plane homographies.
+
+    Args:
+      prev_feat, curr_feat: (BN, H, W, C) stereo features.
+      hom: (BN, D, 3, 3) from `gen_stereo_homography` (output feature-pixel
+        indices -> previous feature-pixel homogeneous coords).
+      bias: added where the warp sampled nothing.
+    Returns:
+      (BN, D, H, W) float32 cost (caller applies softmax(-cost) over D).
+    """
+    BN, H, W, C = prev_feat.shape
+    D = hom.shape[1]
+    assert H % TH == 0, (H, TH)
+    Wp = max(-(-W // TW) * TW, 256)
+    SW = min(224, Wp)
+    WH = min(48, H)
+    n_th, n_tw = H // TH, Wp // TW
+
+    hom = hom.astype(jnp.float32)
+    info, xs16, y0d = _pack_info_hom(hom, D, n_th, n_tw, W, H, Wp, SW, WH)
+
+    pad_w = Wp - W
+    prev_p = jnp.pad(prev_feat, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+    curr_t = jnp.transpose(curr_feat, (0, 1, 3, 2))  # (BN, H, C, W)
+    curr_t = jnp.pad(curr_t, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+
+    kernel = functools.partial(
+        _cv_kernel_hom, D=D, n_th=n_th, n_tw=n_tw, W=W, H=H, Wp=Wp,
+        SW=SW, WH=WH, bias=float(bias),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(BN, n_th, n_tw),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, TH, C, TW),
+                    lambda bn, th, tw, *_: (bn, th, 0, tw),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, D, TH, TW),
+                lambda bn, th, tw, *_: (bn, 0, th, tw),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WH, Wp, C), prev_feat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BN, D, H, Wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(info, xs16, y0d, hom.reshape(-1), prev_p, curr_t)
     return out[..., :W]

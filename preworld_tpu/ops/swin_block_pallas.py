@@ -90,9 +90,14 @@ def _collapse(src_ref, dst_scr, off, ws, n_win, lead4=False):
             )
 
 
-def _attend_one(qscr, oscr, bias_ref, mask_ref, base, wj, *,
+def _attend_one(qscr, oscr, sscr, pscr, bias_ref, mask_ref, base, wj, *,
                 N, heads, d, scale, masked):
-    """Softmax attention for the window at scratch rows [base, base+N)."""
+    """Softmax attention for the window at scratch rows [base, base+N).
+
+    Heads are STACKED along the sublane dim ((heads*N, N) scratch) so the
+    bias add / max / exp / normalize run as single ops over all heads —
+    the kernel is VPU-issue-bound, and the per-head chain was ~10 ops/head
+    where the stacked form is ~3/head + 6 total."""
     C = heads * d
     for h in range(heads):
         qh = qscr[base : base + N, h * d : (h + 1) * d]
@@ -101,52 +106,68 @@ def _attend_one(qscr, oscr, bias_ref, mask_ref, base, wj, *,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = s + bias_ref[h * N : (h + 1) * N, :]
         if masked:
             s = s + mask_ref[pl.ds(pl.multiple_of(wj * N, 16), N), :]
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        sscr[h * N : (h + 1) * N, :] = s
+    s = sscr[:, :] + bias_ref[:, :]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    pscr[:, :] = p.astype(pscr.dtype)
+    for h in range(heads):
         vh = qscr[base : base + N, 2 * C + h * d : 2 * C + (h + 1) * d]
         oh = jax.lax.dot_general(
-            p.astype(qscr.dtype), vh, (((1,), (0,)), ((), ())),
+            pscr[h * N : (h + 1) * N, :], vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         oscr[base : base + N, h * d : (h + 1) * d] = oh.astype(oscr.dtype)
 
 
-def _attend_one_bwd(qscr, doscr, dqscr, bias_ref, mask_ref, dbias_ref,
-                    base, wj, *, N, heads, d, scale, masked):
-    """Flash-style backward for one window (recomputed softmax)."""
+def _attend_one_bwd(qscr, doscr, dqscr, sscr, pscr, dpscr, bias_ref,
+                    mask_ref, dbias_ref, base, wj, *,
+                    N, heads, d, scale, masked):
+    """Flash-style backward for one window (recomputed softmax); heads
+    stacked on the sublane dim like the forward (see _attend_one)."""
     C = heads * d
     for h in range(heads):
         qh = qscr[base : base + N, h * d : (h + 1) * d]
         kh = qscr[base : base + N, C + h * d : C + (h + 1) * d]
-        vh = qscr[base : base + N, 2 * C + h * d : 2 * C + (h + 1) * d]
-        doh = doscr[base : base + N, h * d : (h + 1) * d]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = s + bias_ref[h * N : (h + 1) * N, :]
         if masked:
             s = s + mask_ref[pl.ds(pl.multiple_of(wj * N, 16), N), :]
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        pb = p.astype(qscr.dtype)
+        sscr[h * N : (h + 1) * N, :] = s
+    s = sscr[:, :] + bias_ref[:, :]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    pscr[:, :] = p.astype(pscr.dtype)
+    for h in range(heads):
+        vh = qscr[base : base + N, 2 * C + h * d : 2 * C + (h + 1) * d]
+        doh = doscr[base : base + N, h * d : (h + 1) * d]
         dv = jax.lax.dot_general(
-            pb, doh, (((0,), (0,)), ((), ())),
+            pscr[h * N : (h + 1) * N, :], doh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        )
+        dqscr[base : base + N, 2 * C + h * d : 2 * C + (h + 1) * d] = (
+            dv.astype(dqscr.dtype)
         )
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        row = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = p * (dp - row)
-        dbias_ref[h * N : (h + 1) * N, :] += ds
-        dsb = ds.astype(qscr.dtype)
+        dpscr[h * N : (h + 1) * N, :] = dp
+    dp = dpscr[:, :]
+    row = jnp.sum(dp * p, axis=1, keepdims=True)
+    ds = p * (dp - row)
+    dbias_ref[:, :] += ds
+    pscr[:, :] = ds.astype(pscr.dtype)  # reuse as the ds scratch
+    for h in range(heads):
+        qh = qscr[base : base + N, h * d : (h + 1) * d]
+        kh = qscr[base : base + N, C + h * d : C + (h + 1) * d]
+        dsb = pscr[h * N : (h + 1) * N, :]
         dq = jax.lax.dot_general(
             dsb, kh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -158,13 +179,11 @@ def _attend_one_bwd(qscr, doscr, dqscr, bias_ref, mask_ref, dbias_ref,
         dt = dqscr.dtype
         dqscr[base : base + N, h * d : (h + 1) * d] = dq.astype(dt)
         dqscr[base : base + N, C + h * d : C + (h + 1) * d] = dk.astype(dt)
-        dqscr[base : base + N, 2 * C + h * d : 2 * C + (h + 1) * d] = (
-            dv.astype(dt)
-        )
 
 
 def _blk_kernel(x_ref, lnsb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 bias_ref, mask_ref, rs_ref, o_ref, yscr, y2scr, qscr, oscr,
+                sscr, pscr,
                 *, nW, ws, heads, d, scale, masked, Hp, Wp, H, W, shift):
     N = ws * ws
     band = pl.program_id(1)
@@ -182,8 +201,9 @@ def _blk_kernel(x_ref, lnsb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         ) + bqkv_ref[0:1, :]
         qscr[0:n, :] = qkv.astype(qscr.dtype)
         for k in range(n_win):
-            _attend_one(qscr, oscr, bias_ref, mask_ref, k * N, wj0 + k,
-                        N=N, heads=heads, d=d, scale=scale, masked=masked)
+            _attend_one(qscr, oscr, sscr, pscr, bias_ref, mask_ref, k * N,
+                        wj0 + k, N=N, heads=heads, d=d, scale=scale,
+                        masked=masked)
         po = jax.lax.dot_general(
             oscr[0:n, :], wproj_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -280,6 +300,8 @@ def fused_swin_attn_block(
             pltpu.VMEM((2 * N, C), x.dtype),
             pltpu.VMEM((2 * N, 3 * C), x.dtype),
             pltpu.VMEM((2 * N, C), x.dtype),
+            pltpu.VMEM((heads * N, N), jnp.float32),
+            pltpu.VMEM((heads * N, N), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -303,6 +325,7 @@ def _blk_bwd_kernel(x_ref, lnsb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     dx_ref, dlnsb_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
                     dbproj_ref, dbias_ref,
                     yscr, dyscr, y2scr, qscr, oscr, doscr, dqscr,
+                    sscr, pscr, dpscr,
                     *, nW, ws, heads, d, scale, masked, Hp, Wp, H, W, shift):
     N = ws * ws
     band = pl.program_id(1)
@@ -332,8 +355,9 @@ def _blk_bwd_kernel(x_ref, lnsb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         _collapse(do_ref, doscr, off, ws, n_win, lead4=True)
         # recompute the forward attention output (for dWproj)
         for k in range(n_win):
-            _attend_one(qscr, oscr, bias_ref, mask_ref, k * N, wj0 + k,
-                        N=N, heads=heads, d=d, scale=scale, masked=masked)
+            _attend_one(qscr, oscr, sscr, pscr, bias_ref, mask_ref, k * N,
+                        wj0 + k, N=N, heads=heads, d=d, scale=scale,
+                        masked=masked)
         dob = doscr[0:n, :].astype(jnp.float32) * rs  # branch cotangent
         dwproj_ref[:, :] += jax.lax.dot_general(
             oscr[0:n, :], dob.astype(oscr.dtype), (((0,), (0,)), ((), ())),
@@ -347,8 +371,8 @@ def _blk_bwd_kernel(x_ref, lnsb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         )
         doscr[0:n, :] = dattn.astype(doscr.dtype)
         for k in range(n_win):
-            _attend_one_bwd(qscr, doscr, dqscr, bias_ref, mask_ref,
-                            dbias_ref, k * N, wj0 + k,
+            _attend_one_bwd(qscr, doscr, dqscr, sscr, pscr, dpscr, bias_ref,
+                            mask_ref, dbias_ref, k * N, wj0 + k,
                             N=N, heads=heads, d=d, scale=scale, masked=masked)
         dq2 = dqscr[0:n, :]
         dwqkv_ref[:, :] += jax.lax.dot_general(
@@ -469,6 +493,9 @@ def _fused_swin_attn_block_bwd(
             pltpu.VMEM((2 * N, C), x.dtype),
             pltpu.VMEM((2 * N, C), x.dtype),
             pltpu.VMEM((2 * N, 3 * C), x.dtype),
+            pltpu.VMEM((heads * N, N), jnp.float32),
+            pltpu.VMEM((heads * N, N), x.dtype),
+            pltpu.VMEM((heads * N, N), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

@@ -1344,3 +1344,281 @@ class TestFusedSwinAttnBlock:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
             )
+
+
+class TestPlaneSweepHom:
+    """r5 homography path: per-plane 3x3 homographies replace the
+    (BN, D*H, W, 2) grid tensor (gen_stereo_homography +
+    plane_sweep_cost_hom). Oracle: the grid path they replace."""
+
+    def _geometry(self, rng, input_size, N, cv_down, with_postaug=False):
+        from preworld_tpu.data.synthetic import camera_rig
+        from preworld_tpu.geometry.frustum import GridConfig, create_frustum
+
+        grid_cfg = GridConfig(
+            x=(-40.0, 40.0, 0.4), y=(-40.0, 40.0, 0.4), z=(-1.0, 5.4, 6.4),
+            depth=(1.0, 25.0, 1.0),  # D=24: divisible by the oracle chunks
+        )
+        frustum = jnp.asarray(create_frustum(grid_cfg, input_size, cv_down))
+        rig = camera_rig(N, input_size, rng)
+        yaw = np.deg2rad(4.0)
+        adj = np.eye(4, dtype=np.float32)
+        adj[:2, :2] = [[np.cos(yaw), -np.sin(yaw)],
+                       [np.sin(yaw), np.cos(yaw)]]
+        adj[0, 3] = 1.2
+        s2e = rig["sensor2ego"]
+        k2s = np.stack(
+            [np.linalg.inv(s2e[n]) @ np.linalg.inv(adj) @ s2e[n]
+             for n in range(N)]
+        ).astype(np.float32)
+        if with_postaug:
+            th = 0.04
+            pr = np.array([[np.cos(th), -np.sin(th), 0],
+                           [np.sin(th), np.cos(th), 0],
+                           [0, 0, 1]], np.float32) * np.array(
+                [[0.95], [1.05], [1.0]], np.float32)
+            post_rots = np.broadcast_to(pr, (1, N, 3, 3)).copy()
+            post_trans = rng.normal(0, 2.0, (1, N, 3)).astype(np.float32)
+        else:
+            post_rots = np.broadcast_to(
+                np.eye(3, dtype=np.float32), (1, N, 3, 3)
+            ).copy()
+            post_trans = np.zeros((1, N, 3), np.float32)
+        return (frustum, jnp.asarray(k2s)[None], jnp.asarray(rig["intrin"])[None],
+                jnp.asarray(post_rots), jnp.asarray(post_trans))
+
+    def test_homography_matches_grid(self):
+        """H evaluated densely == gen_stereo_grid converted to feature
+        pixels, including the behind-camera sentinel and a non-trivial
+        (rotation + scale + translation) post-aug."""
+        from preworld_tpu.models.depthnet import (
+            gen_stereo_grid,
+            gen_stereo_homography,
+        )
+
+        rng = np.random.default_rng(11)
+        input_size = (64, 128)
+        N, cv_down = 2, 4
+        frustum, k2s, intr, prots, ptrans = self._geometry(
+            rng, input_size, N, cv_down, with_postaug=True
+        )
+        # flip one camera's z row so part of the frustum is behind-camera
+        k2s = k2s.at[0, 1, 2, :].multiply(-1.0)
+        D, Hf, Wf = frustum.shape[:3]
+
+        grid = np.asarray(gen_stereo_grid(
+            frustum, k2s, intr, prots, ptrans, input_size
+        )).reshape(N, D, Hf, Wf, 2)
+        hom = np.asarray(gen_stereo_homography(
+            frustum, k2s, intr, prots, ptrans, input_size
+        ))
+
+        ww, hh = np.meshgrid(np.arange(Wf), np.arange(Hf), indexing="xy")
+        pix = np.stack([ww, hh, np.ones_like(ww)], -1).astype(np.float64)
+        proj = np.einsum("ndij,hwj->ndhwi", hom.astype(np.float64), pix)
+        z = proj[..., 2]
+        gx_h = proj[..., 0] / z
+        gy_h = proj[..., 1] / z
+
+        gx_g = (grid[..., 0] + 1.0) * 0.5 * (Wf - 1)
+        gy_g = (grid[..., 1] + 1.0) * 0.5 * (Hf - 1)
+        neg_g = grid[..., 0] == -2.0  # the grid's behind-camera sentinel
+        neg_h = z < 1e-3
+        assert (neg_g == neg_h).all()
+        assert neg_h.any()  # the flipped camera actually fired it
+        ok = ~neg_h
+        np.testing.assert_allclose(gx_h[ok], gx_g[ok], rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(gy_h[ok], gy_g[ok], rtol=1e-3, atol=1e-2)
+
+    def test_kernel_hom_matches_xla_oracle(self):
+        """plane_sweep_cost_hom == the XLA grid_sample oracle fed the SAME
+        homography-derived coordinates (tight: isolates the KERNEL from
+        the ~0.1-px f32 composition noise both coordinate paths share —
+        measured comparable to the shipped grid path against an f64
+        oracle), plus a loose cross-check against the grid-path kernel."""
+        import flax.linen as nn
+
+        from preworld_tpu.models.depthnet import (
+            gen_stereo_grid,
+            gen_stereo_homography,
+            stereo_cost_volume,
+        )
+        from preworld_tpu.ops.cost_volume_pallas import (
+            plane_sweep_cost,
+            plane_sweep_cost_hom,
+        )
+
+        rng = np.random.default_rng(7)
+        input_size = (128, 352)
+        N, C, cv_down = 3, 128, 4
+        H, W = input_size[0] // cv_down, input_size[1] // cv_down
+        frustum, k2s, intr, prots, ptrans = self._geometry(
+            rng, input_size, N, cv_down
+        )
+        grid_w = gen_stereo_grid(frustum, k2s, intr, prots, ptrans,
+                                 input_size)
+        hom = gen_stereo_homography(frustum, k2s, intr, prots, ptrans,
+                                    input_size)
+        D = frustum.shape[0]
+        prev = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+
+        got = np.asarray(plane_sweep_cost_hom(
+            prev, curr, hom, bias=5.0, interpret=True
+        ))
+
+        # oracle on the homography-derived grid (f32, kernel algebra)
+        hnp = np.asarray(hom)
+        ww = np.broadcast_to(np.arange(W, dtype=np.float32)[None], (H, W))
+        hh = np.broadcast_to(np.arange(H, dtype=np.float32)[:, None], (H, W))
+        pix = np.stack([ww, hh, np.ones_like(ww)], -1)
+        proj = np.einsum("ndij,hwj->ndhwi", hnp, pix).astype(np.float32)
+        z = proj[..., 2]
+        gx = proj[..., 0] / z
+        gy = proj[..., 1] / z
+        px = np.where(z < 1e-3, -2.0, gx / (0.5 * (W - 1)) - 1.0)
+        py = np.where(z < 1e-3, -2.0, gy / (0.5 * (H - 1)) - 1.0)
+        grid_h = jnp.asarray(
+            np.stack([px, py], -1).reshape(N, D * H, W, 2)
+        )
+        ref = np.asarray(stereo_cost_volume(
+            prev, curr, grid_h, bias=5.0, depth_chunk=1
+        ))
+        ours = np.asarray(nn.softmax(-jnp.asarray(got), axis=1))
+        mism = np.abs(ours - ref) > 1e-4
+        assert mism.mean() < 2e-3, mism.mean()
+
+        # cross-path check: same up to the two paths' independent f32
+        # composition noise (softmax space)
+        want = np.asarray(nn.softmax(-plane_sweep_cost(
+            prev, curr, grid_w, bias=5.0, interpret=True
+        ), axis=1))
+        mism = np.abs(ours - want) > 1e-2
+        assert mism.mean() < 0.05, mism.mean()
+
+    def test_compute_stereo_cost_volume_fused_routes_hom(self, monkeypatch):
+        """The model-facing entry with use_fused=True goes through the
+        homography kernel and matches the plain XLA path."""
+        import preworld_tpu.ops.cost_volume_pallas as cvp
+        from preworld_tpu.models.view_transformer import (
+            compute_stereo_cost_volume,
+        )
+
+        orig = cvp.plane_sweep_cost_hom
+        calls = {}
+
+        def patched(prev, curr, hom, bias=0.0, interpret=False):
+            calls["hom_shape"] = hom.shape
+            return orig(prev, curr, hom, bias=bias, interpret=True)
+
+        monkeypatch.setattr(cvp, "plane_sweep_cost_hom", patched)
+
+        rng = np.random.default_rng(3)
+        input_size = (128, 352)
+        N, C, cv_down = 2, 128, 4
+        H, W = input_size[0] // cv_down, input_size[1] // cv_down
+        frustum, k2s, intr, prots, ptrans = self._geometry(
+            rng, input_size, N, cv_down
+        )
+        prev = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        curr = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        cams = {"intrin": intr, "post_rot": prots, "post_tran": ptrans}
+        stereo = {"prev_feat": prev, "curr_feat": curr, "k2s_sensor": k2s}
+
+        got = np.asarray(compute_stereo_cost_volume(
+            frustum, cams, stereo, input_size, bias=5.0, use_fused=True
+        ))
+        assert calls["hom_shape"] == (N, frustum.shape[0], 3, 3)
+        ref = np.asarray(compute_stereo_cost_volume(
+            frustum, cams, stereo, input_size, bias=5.0,
+            use_fused=False, use_table=False,
+        ))
+        mism = np.abs(got - ref) > 1e-4
+        assert mism.mean() < 2e-3, mism.mean()
+
+
+class TestConv3dZFold:
+    """Block-z-banded 2D reformulation of conv3d (layers.conv3d_zfold):
+    exact vs nn.Conv 3D across strides, odd Z, bias — XLA's conv3d
+    lowering im2cols ~k^3 patch copies into HBM (2.57 GB for one flagship
+    heads conv, measured r5), which this path avoids."""
+
+    @pytest.mark.parametrize("strides,Z", [(1, 16), (2, 16), (1, 5), (2, 7)])
+    def test_matches_conv3d(self, strides, Z):
+        import flax
+        import flax.linen as nn
+
+        from preworld_tpu.models.layers import ConvNormAct
+
+        rng = np.random.default_rng(Z * 10 + strides)
+        x = jnp.asarray(rng.normal(size=(2, 10, 12, Z, 8)).astype(np.float32))
+        m = ConvNormAct(6, (3, 3, 3), strides=strides, use_bias=True,
+                        norm=None, act=None)
+        v = m.init(jax.random.PRNGKey(0), x)
+        p = flax.core.unfreeze(v["params"])
+        p["Conv_0"]["kernel"] = jnp.asarray(
+            rng.normal(size=p["Conv_0"]["kernel"].shape).astype(np.float32))
+        p["Conv_0"]["bias"] = jnp.asarray(
+            rng.normal(size=p["Conv_0"]["bias"].shape).astype(np.float32))
+        got = m.apply({"params": p}, x)
+        ref = nn.Conv(6, (3, 3, 3), strides=(strides,) * 3,
+                      padding=[(1, 1)] * 3, use_bias=True).apply(
+            {"params": p["Conv_0"]}, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_grads_match(self):
+        import flax
+        import flax.linen as nn
+
+        from preworld_tpu.models.layers import ConvNormAct
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 6, 6, 4, 3)).astype(np.float32))
+        ct_key = jax.random.PRNGKey(1)
+        m = ConvNormAct(4, (3, 3, 3), use_bias=True, norm=None, act=None)
+        v = m.init(jax.random.PRNGKey(0), x)
+
+        def loss_fold(p, x_):
+            return (m.apply({"params": p}, x_) ** 2).sum()
+
+        ref_conv = nn.Conv(4, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=True)
+
+        def loss_ref(p, x_):
+            return (ref_conv.apply({"params": p["Conv_0"]}, x_) ** 2).sum()
+
+        gf = jax.grad(loss_fold, argnums=(0, 1))(dict(v["params"]), x)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(dict(v["params"]), x)
+        chex.assert_trees_all_close(gf, gr, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("strides", [1, 2])
+    def test_small_leading_axis_folds_via_transpose(self, strides):
+        """(B, Z, Y, X, C) BEV layout: the small spatial axis is FIRST, so
+        the fold rides two minor-preserving transposes."""
+        import flax
+        import flax.linen as nn
+
+        from preworld_tpu.models.layers import ConvNormAct
+
+        rng = np.random.default_rng(9 + strides)
+        x = jnp.asarray(
+            rng.normal(size=(2, 5, 40, 48, 8)).astype(np.float32)
+        )
+        m = ConvNormAct(6, (3, 3, 3), strides=strides, use_bias=True,
+                        norm=None, act=None)
+        v = m.init(jax.random.PRNGKey(0), x)
+        p = flax.core.unfreeze(v["params"])
+        p["Conv_0"]["kernel"] = jnp.asarray(
+            rng.normal(size=p["Conv_0"]["kernel"].shape).astype(np.float32))
+        p["Conv_0"]["bias"] = jnp.asarray(
+            rng.normal(size=p["Conv_0"]["bias"].shape).astype(np.float32))
+        got = m.apply({"params": p}, x)
+        ref = nn.Conv(6, (3, 3, 3), strides=(strides,) * 3,
+                      padding=[(1, 1)] * 3, use_bias=True).apply(
+            {"params": p["Conv_0"]}, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
