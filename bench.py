@@ -255,20 +255,24 @@ def main():
     # scalar-readback discipline. Guarded: the headline inference metric
     # must survive a train-bench failure; PREWORLD_BENCH_TRAIN=0 skips.
     pretrain_step_s = finetune_step_s = None
+    train_bench_error = None
     if os.environ.get("PREWORLD_BENCH_TRAIN", "1") != "0":
         del variables  # free the inference params before the train states
         try:
             pretrain_step_s = _train_step_seconds(
                 "configs/preworld/preworld_7frame_pretrain.py"
             )
-        except Exception:
-            pass
+        except Exception as e:
+            train_bench_error = f"pretrain: {type(e).__name__}: {e}"[:200]
         try:
             finetune_step_s = _train_step_seconds(
                 "configs/preworld/preworld_7frame_finetune.py"
             )
-        except Exception:
-            pass
+        except Exception as e:
+            train_bench_error = (
+                (train_bench_error or "")
+                + f" finetune: {type(e).__name__}: {e}"
+            )[:400]
 
     print(
         json.dumps(
@@ -286,6 +290,9 @@ def main():
                 "baseline_peg_source":
                     "arXiv:2112.11790 BEVDet-Base (Swin-B 512x1408) "
                     "~1.9fps@3090; 4.0 is a generous A100 upper bound",
+                "pretrain_step_s": pretrain_step_s,
+                "finetune_step_s": finetune_step_s,
+                "train_bench_error": train_bench_error,
                 "mfu": round(flops / dt / peak_flops, 4),
                 "hbm_util": round(bytes_acc / dt / peak_bw, 4),
                 "tflops_fwd": round(flops / 1e12, 2),

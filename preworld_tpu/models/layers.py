@@ -13,57 +13,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.conv3d import conv3d_zfold
+
 Dtype = Any
 
 
-def conv3d_zfold(x, kernel, bias, strides, padding, dilation):
-    """3-D convolution as a block-z-banded 2-D convolution.
-
-    XLA's TPU conv3d lowering materializes ~k^3 im2col patch copies in HBM
-    (measured r5: 2.57 GB for ONE 3x3x3 conv on a (1,200,200,16,32) f32
-    grid — 31x the input bytes; the heads/BEV-encoder stages were made of
-    this). Folding (Z, C) into the channel dim turns the same math into a
-    2-D conv the MXU path handles natively: output channel block zo takes
-    input blocks zi = zo*sz + t*dz - pz only, via a banded weight built
-    from the ORIGINAL (kx, ky, kz, Ci, Co) kernel — identical sums plus
-    exact-zero taps, so results match conv3d bit-for-bit up to reduction
-    order. Out-of-range z taps simply have zero bands (no physical pad).
-
-    Args:
-      x: (B, X, Y, Z, Ci); kernel: (kx, ky, kz, Ci, Co); bias: (Co,)|None.
-      strides/dilation: length-3 tuples; padding: [(lo,hi)] * 3.
-    Returns: (B, Xo, Yo, Zo, Co).
-    """
-    import numpy as np
-
-    B, X, Y, Z, Ci = x.shape
-    kx, ky, kz, _, Co = kernel.shape
-    sx, sy, sz = strides
-    dx, dy, dz = dilation
-    pz = padding[2]
-    Zo = (Z + pz[0] + pz[1] - dz * (kz - 1) - 1) // sz + 1
-    # (kz, Z, Zo) 0/1 band selector (trace-time constant)
-    M = np.zeros((kz, Z, Zo), np.float32)
-    for zo in range(Zo):
-        for t in range(kz):
-            zi = zo * sz + t * dz - pz[0]
-            if 0 <= zi < Z:
-                M[t, zi, zo] = 1.0
-    W2 = jnp.einsum(
-        "xytic,tzw->xyziwc", kernel, jnp.asarray(M, kernel.dtype)
-    ).reshape(kx, ky, Z * Ci, Zo * Co)
-    y = jax.lax.conv_general_dilated(
-        x.reshape(B, X, Y, Z * Ci),
-        W2,
-        window_strides=(sx, sy),
-        padding=[tuple(padding[0]), tuple(padding[1])],
-        rhs_dilation=(dx, dy),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = y.reshape(*y.shape[:3], Zo, Co)
-    if bias is not None:
-        y = y + bias
-    return y
 
 
 class ConvNormAct(nn.Module):
@@ -124,50 +78,31 @@ class ConvNormAct(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
         )
-        # 3-D convs reformulate as block-banded 2-D convs over the SMALLEST
-        # spatial axis (see conv3d_zfold: XLA's conv3d lowering im2cols
-        # ~k^3 copies into HBM). Both model layouts appear: (B, X, Y, Z, C)
-        # heads (fold axis 2, free) and (B, Z, Y, X, C) BEV encoders (fold
-        # axis 0 via two cheap minor-preserving transposes — still ~8x
-        # fewer bytes than the im2col). Gate on the banded weight staying
-        # small. Param tree is nn.Conv's own (dummy call creates it; XLA
-        # DCEs the result).
+        # 3-D convs with a small channel-adjacent spatial axis reformulate
+        # as block-banded 2-D convs (see conv3d_zfold: XLA's conv3d
+        # lowering on the (B, X, Y, Z, C) heads layout im2cols ~k^3 copies
+        # into HBM). ONLY that axis: transposing (B, Z, Y, X, C) BEV
+        # tensors to fold their leading Z measured WORSE (8.7 -> 11.5 GB)
+        # — that layout doesn't hit the pathological case. Gate on the
+        # banded weight staying small. Param tree is nn.Conv's own (dummy
+        # call creates it; XLA DCEs the result).
         fold_axis = None
-        if ndim == 3:
-            best = None
-            for a in (2, 0, 1):  # prefer the no-transpose axis
-                Z = x.shape[1 + a]
-                Zo = (Z + pad[a][0] + pad[a][1] - dl[a] * (ks[a] - 1) - 1) \
-                    // st[a] + 1
-                wbytes = (
-                    ks[(a + 1) % 3] * ks[(a + 2) % 3] * Z * x.shape[-1]
-                    * Zo * self.features * 4
-                )
-                if ks[a] > 1 and Zo >= 1 and wbytes <= 128 * 1024 * 1024:
-                    if best is None or wbytes < best[1] // 8:
-                        best = (a, wbytes)
-            fold_axis = best[0] if best else None
+        if ndim == 3 and ks[2] > 1:
+            Z = x.shape[3]
+            Zo = (Z + pad[2][0] + pad[2][1] - dl[2] * (ks[2] - 1) - 1) \
+                // st[2] + 1
+            wbytes = ks[0] * ks[1] * Z * x.shape[-1] * Zo * self.features * 4
+            if Zo >= 1 and wbytes <= 128 * 1024 * 1024:
+                fold_axis = 2
         if fold_axis is not None:
             _ = conv(jnp.zeros((1, 1, 1, 1, x.shape[-1]), x.dtype))
             p = conv.variables["params"]
-            kern = p["kernel"].astype(self.dtype)
-            bias = p["bias"].astype(self.dtype) if self.use_bias else None
-            a = fold_axis
-            if a != 2:
-                perm = [i for i in range(3) if i != a] + [a]
-                x = jnp.transpose(x, (0,) + tuple(1 + i for i in perm) + (4,))
-                kern = jnp.transpose(kern, tuple(perm) + (3, 4))
-                stp = tuple(st[i] for i in perm)
-                padp = [pad[i] for i in perm]
-                dlp = tuple(dl[i] for i in perm)
-            else:
-                stp, padp, dlp = st, pad, dl
-            x = conv3d_zfold(x, kern, bias, stp, padp, dlp)
-            if a != 2:
-                inv = [0] * 3
-                for i, pi in enumerate(perm):
-                    inv[pi] = i
-                x = jnp.transpose(x, (0,) + tuple(1 + i for i in inv) + (4,))
+            x = conv3d_zfold(
+                x,
+                p["kernel"].astype(self.dtype),
+                p["bias"].astype(self.dtype) if self.use_bias else None,
+                st, pad, dl,
+            )
         else:
             x = conv(x)
         if self.norm == "bn":

@@ -481,12 +481,20 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
                 for c in range(C):
                     w[1 - dx, 1 - dy, 1 - dz, k * slot + c, c] = 1.0
                 k += 1
-    out = jax.lax.conv_general_dilated(
+    # run the conv through the z-banded 2-D reformulation: XLA's conv3d
+    # lowering materializes ~k^3 im2col patch copies in HBM (r5, see
+    # models/layers.conv3d_zfold) — on the (1, 201, 201, 17, 256) f32
+    # corner table that's ~2.8 GB of hidden traffic inside what was billed
+    # as "one table read, one field write"
+    from .conv3d import conv3d_zfold
+
+    out = conv3d_zfold(
         tab.reshape(1, X + 1, Y + 1, Z + 1, 8 * slot),
         jnp.asarray(w, dt),
+        None,
         (1, 1, 1),
-        "VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        [(0, 0), (0, 0), (0, 0)],
+        (1, 1, 1),
     )
     return out[0]
 

@@ -1594,30 +1594,22 @@ class TestConv3dZFold:
         chex.assert_trees_all_close(gf, gr, rtol=1e-4, atol=1e-4)
 
     @pytest.mark.parametrize("strides", [1, 2])
-    def test_small_leading_axis_folds_via_transpose(self, strides):
-        """(B, Z, Y, X, C) BEV layout: the small spatial axis is FIRST, so
-        the fold rides two minor-preserving transposes."""
-        import flax
+    def test_zfold_direct_odd_shapes(self, strides):
+        """conv3d_zfold directly, asymmetric spatial extents."""
         import flax.linen as nn
 
-        from preworld_tpu.models.layers import ConvNormAct
+        from preworld_tpu.models.layers import conv3d_zfold
 
         rng = np.random.default_rng(9 + strides)
         x = jnp.asarray(
-            rng.normal(size=(2, 5, 40, 48, 8)).astype(np.float32)
+            rng.normal(size=(2, 9, 11, 6, 8)).astype(np.float32)
         )
-        m = ConvNormAct(6, (3, 3, 3), strides=strides, use_bias=True,
-                        norm=None, act=None)
-        v = m.init(jax.random.PRNGKey(0), x)
-        p = flax.core.unfreeze(v["params"])
-        p["Conv_0"]["kernel"] = jnp.asarray(
-            rng.normal(size=p["Conv_0"]["kernel"].shape).astype(np.float32))
-        p["Conv_0"]["bias"] = jnp.asarray(
-            rng.normal(size=p["Conv_0"]["bias"].shape).astype(np.float32))
-        got = m.apply({"params": p}, x)
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 6)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        got = conv3d_zfold(x, k, b, (strides,) * 3, [(1, 1)] * 3, (1, 1, 1))
         ref = nn.Conv(6, (3, 3, 3), strides=(strides,) * 3,
                       padding=[(1, 1)] * 3, use_bias=True).apply(
-            {"params": p["Conv_0"]}, x)
+            {"params": {"kernel": k, "bias": b}}, x)
         assert got.shape == ref.shape
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
