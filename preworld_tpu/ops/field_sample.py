@@ -280,6 +280,21 @@ def sample_parity_tables(
     return out.reshape(-1, C)[:P].reshape(*spatial, C)
 
 
+def _use_sorted_scatter() -> bool:
+    """Route the corner8 backward through the sorted MXU segment-sum
+    (scatter_sorted) instead of `.at[].add`. Default OFF: measured r5, at
+    the live-cap-compacted flagship size (~4.5M rows) the variadic sort
+    (~39 ms at 6 payload arrays; a 25-payload or 16M-row variant is a
+    multi-10-minute COMPILE bomb through the relay) plus the chunk-walk
+    kernel roughly re-buys the descriptor scatter it replaces — the sorted
+    path only wins for LARGE uncompacted scatters, which the two-tier
+    compaction already avoids. Kept oracled + opt-in via
+    PREWORLD_SORTED_SCATTER=1 for future hardware where the trade flips."""
+    import os
+
+    return os.environ.get("PREWORLD_SORTED_SCATTER") == "1"
+
+
 def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
                           seg_target: int = 1 << 21,
                           live_cap: int = 0):
@@ -314,6 +329,47 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
     C = field_shape[-1]
     slot = _corner_slot(C)
     dt = g.dtype
+    NV = (X + 1) * (Y + 1) * (Z + 1)
+
+    def scatter_sorted(g_flat, pts_flat):
+        """Sorted MXU segment-sum replacement for the `.at[].add` scatter
+        (r5): scatter descriptors run ~45-55 M/s on TPU while the bev_pool
+        chunk-walk kernel sums sorted rows at ~180 M/s and XLA's variadic
+        sort moves (idx + the narrow fx/fy/fz/g-channel payloads) in
+        ~3 ms/1.5M points — sorting the NARROW ingredients and building the
+        (P, 8*slot) update rows post-sort avoids the one slow step, a
+        wide-row gather from a >VMEM table. Accumulation rides the MXU
+        one-hot contraction (f32 via bf16x6) instead of serial exact f32
+        adds; oracled against the scatter path in tests/test_ops.py."""
+        from .bev_pool_pallas import bev_pool_pallas_sorted
+
+        xs, ys, zs, fx, fy, fz, valid = _trilinear_coords(
+            dims_xyz, pts_flat, dt
+        )
+        idx = (xs * (Y + 1) + ys) * (Z + 1) + zs
+        # park invalid rows past the live range (their updates are zeroed
+        # below regardless; rows >= NV are sliced away)
+        idx = jnp.where(valid, idx, NV + 1)
+        gv = g_flat * valid[:, None].astype(dt)
+        sorted_ = jax.lax.sort(
+            (idx, fx, fy, fz, *(gv[:, c] for c in range(C))), num_keys=1
+        )
+        idx_s, fx, fy, fz = sorted_[:4]
+        g_s = jnp.stack(sorted_[4:], axis=1)
+        g_pad = jnp.pad(g_s, ((0, 0), (0, slot - C)))
+        wx = (1 - fx, fx)
+        wy = (1 - fy, fy)
+        wz = (1 - fz, fz)
+        upd = jnp.concatenate(
+            [
+                g_pad * (wx[dx] * wy[dy] * wz[dz])[:, None]
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=1,
+        )  # (P, 8*slot)
+        return bev_pool_pallas_sorted(upd, idx_s, NV)[:NV]
 
     def scatter_to_tab(g_flat, pts_flat, tab=None):
         P = g_flat.shape[0]
@@ -442,7 +498,7 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
             pts_rows = pts2.reshape(R * S, 3)[flat]
             g_rows = g2.reshape(R * S, C)[flat]
             keep_row = jnp.repeat(~over, live_cap).astype(dt)[:, None]
-            tab = scatter_to_tab(g_rows * keep_row, pts_rows)
+            g1 = g_rows * keep_row
             # tier 2: whole-ray scatter of the overflow rays. argsort puts
             # overflow rays first; non-overflow padding rows are zeroed by
             # `omask` (k_over*S extra descriptors — ~1-2% of the full
@@ -453,8 +509,17 @@ def _corner8_scatter_grad(field_shape, dims_xyz, pts_norm, g,
             omask = over[ridx].astype(dt)  # (k_over,)
             g_o = (g2[ridx] * omask[:, None, None]).reshape(-1, C)
             pts_o = pts2[ridx].reshape(-1, 3)
+            if _use_sorted_scatter():
+                return scatter_sorted(
+                    jnp.concatenate([g1, g_o], axis=0),
+                    jnp.concatenate([pts_rows, pts_o], axis=0),
+                )
+            tab = scatter_to_tab(g1, pts_rows)
             return scatter_to_tab(g_o, pts_o, tab=tab)
 
+        # the full-P fallback stays on the segmented `.at[].add` scatter:
+        # a 16M-point variadic sort measured as a COMPILE bomb through the
+        # relay (tens of minutes), and the fallback is the rare branch
         tab = jax.lax.cond(
             fits,
             compact_branch,

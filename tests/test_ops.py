@@ -1614,3 +1614,48 @@ class TestConv3dZFold:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
+
+
+class TestSortedScatterGrad:
+    """r5: the corner8 backward's sorted MXU segment-sum path
+    (field_sample.scatter_sorted via bev_pool_pallas_sorted) == the
+    `.at[].add` scatter oracle, full and live-cap-compacted."""
+
+    @pytest.mark.parametrize("live_cap", [0, 8])
+    def test_matches_scatter_path(self, monkeypatch, live_cap):
+        import preworld_tpu.ops.bev_pool_pallas as bpp
+        import preworld_tpu.ops.field_sample as fs
+
+        orig = bpp.bev_pool_pallas_sorted
+        monkeypatch.setattr(
+            bpp, "bev_pool_pallas_sorted",
+            lambda vals, vox, nv, **kw: orig(vals, vox, nv, interpret=True),
+        )
+        rng = np.random.default_rng(4)
+        X, Y, Z, C = 12, 10, 6, 5
+        R, S = 64, 40
+        pts = rng.uniform(-1.25, 1.25, (R, S, 3)).astype(np.float32)
+        g = rng.normal(size=(R, S, C)).astype(np.float32)
+        if live_cap:
+            # contiguous live spans (the tier-1 window assumption) + a few
+            # overflow rays handled by tier 2
+            mask = np.zeros((R, S), np.float32)
+            starts = rng.integers(0, S - 6, R)
+            for r in range(R):
+                mask[r, starts[r] : starts[r] + rng.integers(1, 6)] = 1.0
+            mask[:3, :] = 1.0  # overflow rays (span S > cap)
+            g = g * mask[..., None]
+        pts_j, g_j = jnp.asarray(pts), jnp.asarray(g)
+
+        def run(sorted_flag):
+            monkeypatch.setenv(
+                "PREWORLD_SORTED_SCATTER", "1" if sorted_flag else "0"
+            )
+            return np.asarray(fs._corner8_scatter_grad(
+                (X, Y, Z, C), (X, Y, Z), pts_j, g_j, live_cap=live_cap
+            ))
+
+        want = run(False)
+        got = run(True)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        assert np.abs(want).max() > 0  # the fixture actually scattered
