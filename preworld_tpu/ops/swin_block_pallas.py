@@ -304,7 +304,10 @@ def fused_swin_attn_block(
             pltpu.VMEM((heads * N, N), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # no cross-step state in the FORWARD (the backward's weight-grad
+            # accumulators need sequential revisits) -> let Mosaic pipeline
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(
